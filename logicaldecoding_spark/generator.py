@@ -1,0 +1,410 @@
+"""Deterministic, vectorized WAL-event-log generator.
+
+The analog of the reference's seeded workload generator
+(/root/reference/src/types/mod.rs:210-301): seeded RNG (seed 42 there,
+types/mod.rs:212), 1-9 ops per transaction (types/mod.rs:231), uniform
+insert/update/delete mix (types/mod.rs:232-281), 10% rollback
+(types/mod.rs:285-290).  Differences, by design:
+
+* instead of driving a live Postgres, it writes the *captured log* the engine
+  replays: one Parquet row per change event, in WAL (lsn) order, transactions
+  serial in commit order — the stream the reference's client would have seen
+  on the replication socket (src/replication.rs:114-141);
+* rolled-back transactions ARE present in the log (BEGIN + data events, no
+  COMMIT marker) so the engine has to assemble transactions and keep only
+  committed ones, which logical decoding does for the reference for free;
+* keys are (repo, path) over a Zipf-hot repo distribution — the hot-key skew
+  the north_rule requires explicit handling for;
+* schema-evolution events (op='R') generalize decoderbufs' per-tuple
+  ``new_typeinfo`` channel (/root/reference/src/pg_logicaldec.proto:37-40).
+
+Generation is fully vectorized (numpy/pandas, no per-row Python in the data
+path) and fully determined by (seed, params).  "Hashes" (commit shas,
+content) are deterministic splitmix64-style mixes rather than real sha256 —
+functionally equivalent for determinism/equality tests and ~100x faster to
+generate at bench scale.
+
+Update semantics: updates carry the FULL after-image (decoderbufs sends full
+new_tuple, pg_logicaldec.proto:47); ``lang`` is absent from the after-image
+with p=0.5, which the applier must fold to NULL — mirroring the reference's
+Option handling of missing datums (src/types/mod.rs:135-146).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .schema import OP_BEGIN, OP_COMMIT, OP_DELETE, OP_INSERT, OP_RELATION, OP_UPDATE
+
+_EPOCH_2000_US = 946_684_800_000_000  # reference epoch constant, replication.rs:19
+_LANGS = np.array(["py", "rs", "go", "java", "ts"])
+
+
+@dataclass
+class SchemaChangeSpec:
+    """A schema-evolution event injected after ``at_txn`` transactions."""
+
+    at_txn: int
+    kind: str  # add_column | widen_type
+    column: str
+    type: str
+
+
+@dataclass
+class WorkloadParams:
+    seed: int = 42
+    n_txns: int = 200
+    n_repos: int = 50
+    paths_per_repo: int = 40
+    zipf_s: float = 1.2
+    rollback_p: float = 0.10
+    ops_low: int = 1
+    ops_high: int = 9  # inclusive; reference gen_range(1..10), types/mod.rs:231
+    lang_null_p_update: float = 0.5
+    content_min_reps: int = 1
+    content_max_reps: int = 12
+    schema_changes: list[SchemaChangeSpec] = field(default_factory=list)
+    chunk_txns: int = 100_000  # generation chunk size (memory bound)
+
+
+def default_evolution(n_txns: int) -> list[SchemaChangeSpec]:
+    """The canonical evolution scenario: add int col, add long col, widen."""
+    return [
+        SchemaChangeSpec(at_txn=n_txns // 4, kind="add_column", column="size", type="int"),
+        SchemaChangeSpec(at_txn=n_txns // 2, kind="add_column", column="stars", type="long"),
+        SchemaChangeSpec(
+            at_txn=(3 * n_txns) // 4, kind="widen_type", column="size", type="long"
+        ),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# deterministic vectorized "hashing"
+# ---------------------------------------------------------------------------
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 mix."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _hex40(seed: int, lsn: np.ndarray) -> np.ndarray:
+    """40-char deterministic hex 'commit sha' from (seed, lsn)."""
+    a = _mix64(lsn.astype(np.uint64) + np.uint64(seed * 0x9E3779B9))
+    b = _mix64(a + np.uint64(1))
+    # 16 + 16 + 8 hex chars = 40
+    sa = np.char.mod("%016x", a)
+    sb = np.char.mod("%016x", b)
+    sc = np.char.mod("%08x", (a >> np.uint64(32)).astype(np.uint32))
+    return np.char.add(np.char.add(sa, sb), sc)
+
+
+def _zipf_probs(n: int, s: float) -> np.ndarray:
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    p = ranks**-s
+    return p / p.sum()
+
+
+# ---------------------------------------------------------------------------
+# JSON payload assembly (vectorized string concat; all values JSON-safe ASCII)
+# ---------------------------------------------------------------------------
+def _jfield(key: str, vals: np.ndarray, quote: bool = True, last: bool = False) -> np.ndarray:
+    sep = "" if last else ","
+    if quote:
+        return np.char.add(np.char.add(f'"{key}":"', vals), f'"{sep}')
+    return np.char.add(np.char.add(f'"{key}":', vals), sep)
+
+
+class WalLogGenerator:
+    """Generates the event log chunk-by-chunk into a Parquet file/dir."""
+
+    def __init__(self, params: WorkloadParams):
+        self.p = params
+        self.repo_probs = _zipf_probs(params.n_repos, params.zipf_s)
+        self.repo_names = np.char.mod("repo%05d", np.arange(params.n_repos))
+        # evolution state is positional: sorted by at_txn
+        self.changes = sorted(params.schema_changes, key=lambda c: c.at_txn)
+
+    # -- per-chunk event synthesis -------------------------------------------
+    def _gen_txn_chunk(self, rng: np.random.Generator, txn_lo: int, txn_hi: int,
+                       lsn_start: int) -> tuple[pa.Table, int]:
+        p = self.p
+        n_txns = txn_hi - txn_lo
+        txn_idx = np.arange(txn_lo, txn_hi, dtype=np.int64)
+        n_ops = rng.integers(p.ops_low, p.ops_high + 1, size=n_txns)
+        rolled_back = rng.random(n_txns) < p.rollback_p
+
+        # rows per txn: BEGIN + ops + (COMMIT if committed)
+        rows_per_txn = 1 + n_ops + (~rolled_back).astype(np.int64)
+        n_rows = int(rows_per_txn.sum())
+        row_txn = np.repeat(np.arange(n_txns), rows_per_txn)  # local txn index per row
+        starts = np.concatenate(([0], np.cumsum(rows_per_txn)[:-1]))
+        pos_in_txn = np.arange(n_rows) - starts[row_txn]
+
+        is_begin = pos_in_txn == 0
+        is_commit = (~rolled_back[row_txn]) & (pos_in_txn == rows_per_txn[row_txn] - 1)
+        is_data = ~(is_begin | is_commit)
+
+        op = np.full(n_rows, OP_BEGIN, dtype="<U1")
+        op[is_commit] = OP_COMMIT
+        n_data = int(is_data.sum())
+        data_op = np.array([OP_INSERT, OP_UPDATE, OP_DELETE])[
+            rng.integers(0, 3, size=n_data)
+        ]
+        op[is_data] = data_op
+
+        lsn = lsn_start + np.arange(n_rows, dtype=np.int64)
+        txid = 1000 + txn_idx[row_txn]
+        seq = np.maximum(pos_in_txn - 1, 0).astype(np.int32)  # data events: 0-based
+        commit_time_us = _EPOCH_2000_US + txn_idx[row_txn] * 100_000  # 100ms tick
+        committed = ~rolled_back[row_txn]
+
+        # --- data-event attributes (vectorized) ---
+        d_lsn = lsn[is_data]
+        d_op = data_op
+        repo_i = rng.choice(p.n_repos, size=n_data, p=self.repo_probs)
+        path_j = rng.integers(0, p.paths_per_repo, size=n_data)
+        repo = self.repo_names[repo_i]
+        path = np.char.add(
+            np.char.add("src/m", (path_j // 8).astype("U8")),
+            np.char.add(np.char.add("/f", path_j.astype("U8")), ".py"),
+        )
+        commit_sha = _hex40(p.seed, d_lsn)
+        lang_pick = _LANGS[rng.integers(0, len(_LANGS), size=n_data)]
+        # inserts: lang NULL with p=0.1; updates: lang absent with p=0.5
+        lang_null = np.where(
+            d_op == OP_UPDATE,
+            rng.random(n_data) < p.lang_null_p_update,
+            rng.random(n_data) < 0.1,
+        )
+        reps = rng.integers(p.content_min_reps, p.content_max_reps + 1, size=n_data)
+        token = _mix64(d_lsn.astype(np.uint64) ^ np.uint64(p.seed))
+        line = np.char.add(
+            np.char.add("def f_", np.char.mod("%016x", token)),
+            np.char.add(
+                np.char.mod("(v): return (v * 31 + %d)", token % np.uint64(9973)),
+                " % 1000003  ",
+            ),
+        )
+        content = np.char.multiply(line, reps)
+
+        # evolved-column values, active per-event by txn position
+        txn_of_data = txn_idx[row_txn][is_data]
+        has_size = np.zeros(n_data, dtype=bool)
+        size_wide = np.zeros(n_data, dtype=bool)
+        has_stars = np.zeros(n_data, dtype=bool)
+        for ch in self.changes:
+            m = txn_of_data >= ch.at_txn
+            if ch.kind == "add_column" and ch.column == "size":
+                has_size |= m
+            elif ch.kind == "add_column" and ch.column == "stars":
+                has_stars |= m
+            elif ch.kind == "widen_type" and ch.column == "size":
+                size_wide |= m
+        size_val = np.where(
+            size_wide,
+            3_000_000_000 + (d_lsn * 17) % 1_000_000_000,  # exceeds int32 after widen
+            (d_lsn * 17) % 100_000,
+        )
+        stars_val = (d_lsn * 7) % 100_000
+
+        is_ins = d_op == OP_INSERT
+        is_upd = d_op == OP_UPDATE
+        is_del = d_op == OP_DELETE
+        has_new = is_ins | is_upd
+
+        # --- JSON payload (vectorized concat) ---
+        new_obj = np.char.add(
+            "{",
+            np.char.add(
+                _jfield("repo", repo),
+                np.char.add(
+                    _jfield("path", path),
+                    np.char.add(
+                        _jfield("commit", commit_sha),
+                        np.where(lang_null, "", _jfield("lang", lang_pick)),
+                    ),
+                ),
+            ),
+        )
+        new_obj = np.char.add(
+            new_obj,
+            np.where(has_size, _jfield("size", size_val.astype("U20")), ""),
+        )
+        new_obj = np.char.add(
+            new_obj,
+            np.where(has_stars, _jfield("stars", stars_val.astype("U20")), ""),
+        )
+        new_obj = np.char.add(new_obj, _jfield("content", content, last=True))
+        new_obj = np.char.add(new_obj, "}")
+
+        old_obj = np.char.add(
+            "{",
+            np.char.add(
+                _jfield("repo", repo), np.char.add(_jfield("path", path, last=True), "}")
+            ),
+        )
+
+        d_payload = np.char.add(
+            "{",
+            np.char.add(
+                _jfield("txid", txid[is_data].astype("U20"), quote=False),
+                np.char.add(
+                    _jfield("seq", seq[is_data].astype("U10"), quote=False),
+                    np.char.add(
+                        _jfield("ct", commit_time_us[is_data].astype("U20"), quote=False),
+                        np.char.add(
+                            _jfield("op", d_op),
+                            _jfield("table", np.full(n_data, "repos")),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        d_payload = np.char.add(
+            d_payload, np.where(has_new, _jfield("new", new_obj, quote=False), "")
+        )
+        d_payload = np.char.add(
+            d_payload,
+            np.where(
+                is_upd | is_del, _jfield("old", old_obj, quote=False, last=True), ""
+            ),
+        )
+        # inserts end with trailing comma from "new"; normalize
+        d_payload = np.char.add(np.char.rstrip(d_payload, ","), "}")
+
+        payload = np.empty(n_rows, dtype=object)
+        bc_payload = np.char.add(
+            "{",
+            np.char.add(
+                _jfield("txid", txid.astype("U20"), quote=False),
+                np.char.add(
+                    _jfield("seq", np.zeros(n_rows, dtype=np.int64).astype("U2"),
+                            quote=False),
+                    np.char.add(
+                        _jfield("ct", commit_time_us.astype("U20"), quote=False),
+                        np.char.add(_jfield("op", op, last=True), "}"),
+                    ),
+                ),
+            ),
+        )
+        payload[:] = bc_payload
+        payload[is_data] = d_payload
+
+        tbl = pa.table(
+            {
+                "lsn": pa.array(lsn, pa.int64()),
+                "txid": pa.array(txid, pa.int64()),
+                "seq": pa.array(seq, pa.int32()),
+                "commit_time_us": pa.array(commit_time_us, pa.int64()),
+                "op": pa.array(op.astype(object), pa.string()),
+                "committed": pa.array(committed, pa.bool_()),
+                "payload": pa.array(payload, pa.string()),
+            }
+        )
+        return tbl, lsn_start + n_rows
+
+    def _schema_change_txn(self, ch: SchemaChangeSpec, txn_global: int, lsn_start: int
+                           ) -> tuple[pa.Table, int]:
+        """A committed single-event txn carrying the R(elation) message."""
+        txid = 1000 + txn_global
+        ct = _EPOCH_2000_US + txn_global * 100_000
+        rows = []
+        for i, o in enumerate((OP_BEGIN, OP_RELATION, OP_COMMIT)):
+            pl = {"txid": txid, "seq": 0, "ct": ct, "op": o}
+            if o == OP_RELATION:
+                pl["change"] = {"kind": ch.kind, "column": ch.column, "type": ch.type}
+            rows.append(
+                {
+                    "lsn": lsn_start + i,
+                    "txid": txid,
+                    "seq": 0,
+                    "commit_time_us": ct,
+                    "op": o,
+                    "committed": True,
+                    "payload": json.dumps(pl, separators=(",", ":")),
+                }
+            )
+        t = pa.Table.from_pylist(rows, schema=self._arrow_schema())
+        return t, lsn_start + 3
+
+    @staticmethod
+    def _arrow_schema() -> pa.Schema:
+        return pa.schema(
+            [
+                ("lsn", pa.int64()),
+                ("txid", pa.int64()),
+                ("seq", pa.int32()),
+                ("commit_time_us", pa.int64()),
+                ("op", pa.string()),
+                ("committed", pa.bool_()),
+                ("payload", pa.string()),
+            ]
+        )
+
+    # -- public entry ----------------------------------------------------------
+    def write(self, out_path: str) -> dict:
+        """Write the full log to ``out_path`` (a parquet file). Returns stats."""
+        p = self.p
+        rng = np.random.default_rng(p.seed)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        writer = pq.ParquetWriter(out_path, self._arrow_schema(), compression="snappy")
+        lsn = 1
+        n_rows = 0
+        n_data_events = 0
+        change_q = list(self.changes)
+        txn = 0
+        # txn index space: data txns are 0..n_txns-1; schema-change txns are
+        # interleaved at their at_txn positions and consume their own txn ids
+        # (offset by 500_000_000 to keep data txn ids rng-stable).
+        try:
+            while txn < p.n_txns:
+                next_stop = min(
+                    txn + p.chunk_txns,
+                    p.n_txns,
+                    *(c.at_txn for c in change_q if c.at_txn > txn),
+                )
+                if change_q and change_q[0].at_txn == txn:
+                    ch = change_q.pop(0)
+                    t, lsn = self._schema_change_txn(ch, 500_000_000 + ch.at_txn, lsn)
+                    writer.write_table(t)
+                    n_rows += t.num_rows
+                    continue
+                t, lsn = self._gen_txn_chunk(rng, txn, next_stop, lsn)
+                writer.write_table(t, row_group_size=1 << 20)
+                n_rows += t.num_rows
+                ops = pc.sum(
+                    pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])).cast(pa.int64())
+                ).as_py()
+                n_data_events += int(ops or 0)
+                txn = next_stop
+        finally:
+            writer.close()
+        return {
+            "rows": n_rows,
+            "data_events": n_data_events,
+            "txns": p.n_txns,
+            "max_lsn": lsn - 1,
+            "path": out_path,
+        }
+
+
+def generate_log(out_path: str, **kwargs) -> dict:
+    """Convenience wrapper: generate_log('/tmp/wal.parquet', n_txns=..., ...)."""
+    sc = kwargs.pop("schema_changes", None)
+    params = WorkloadParams(**kwargs)
+    if sc is not None:
+        params.schema_changes = sc
+    return WalLogGenerator(params).write(out_path)

@@ -1,0 +1,35 @@
+"""Committed-transaction assembly.
+
+The reference's client assembles events between BEGIN and COMMIT into
+transactions and only emits them on COMMIT
+(/root/reference/src/replication.rs:125-136); aborted transactions are never
+emitted by logical decoding at all, which is why its subscriber needs no
+rollback handling (src/types/mod.rs:285-290 rolls back 10% of generated
+transactions and they never reach the stream).
+
+Our captured log DOES contain aborted transactions (BEGIN + data events,
+no COMMIT marker), so the distributed equivalent is:
+
+    committed txids = txids having a COMMIT marker
+    committed data  = data events LEFT SEMI JOIN committed txids ON txid
+
+The semi-join is the scale-correct shape: at small txn counts AQE turns it
+into a broadcast join; at 10^10-event scale it is a shuffled semi-join on a
+uniformly distributed key (txid), with map-side distinct on the build side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import DATA_OPS, OP_COMMIT
+
+
+def committed_data_events(parsed: DataFrame) -> DataFrame:
+    """Keep only I/U/D events of transactions that committed."""
+    commits = (
+        parsed.filter(F.col("op") == OP_COMMIT).select("txid").distinct()
+    )
+    data = parsed.filter(F.col("op").isin(*DATA_OPS))
+    return data.join(commits, "txid", "left_semi")

@@ -1,0 +1,110 @@
+"""Copy-on-write MERGE upsert into the lake table.
+
+The distributed form of the reference subscriber's apply loop
+(/root/reference/src/types/mod.rs:50-168): INSERT -> put, UPDATE -> put full
+after-image, DELETE -> remove, lineage txid recorded per row (:67, :120).
+One MERGE call applies one compacted batch (<=1 change row per key, from
+operators/compaction.py):
+
+    target (only touched buckets)  FULL OUTER JOIN  changes  ON pk
+      source wins  iff change.lsn > target._last_lsn        (monotone guard)
+      winning op D -> row dropped; I/U -> source row
+      otherwise    -> target row kept
+
+The monotone LSN guard is what makes the sink idempotent / exactly-once on
+replay (SURVEY §2.9 T4): re-applying an already-applied batch compares
+``lsn == _last_lsn`` -> target kept -> byte-identical rewrite, and the
+snapshot offsets make it a no-op before even reaching here.
+
+Scale notes:
+* the join is keyed on the primary key; both sides are unique per key
+  (target by construction, source post-compaction), so no key explosion and
+  no join skew beyond hashing — AQE handles residual imbalance;
+* bucket pruning bounds the target side to touched buckets only;
+* output is repartitioned by bucket so each bucket writes a bounded number
+  of files (COW granularity = bucket).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import OP_DELETE
+from ..table.format import LakeTable, bucket_expr
+
+
+def merge_into(
+    spark: SparkSession,
+    table: LakeTable,
+    compacted: DataFrame,
+    applied_upto_lsn: int,
+    batch_id: int,
+    extra_metrics: dict | None = None,
+) -> dict:
+    """Apply one compacted change batch; commit a new snapshot. Returns metrics."""
+    t0 = time.time()
+    pk = list(table.pk)
+    schema = table.schema
+    data_cols = [f.name for f in schema.fields if f.name not in pk]
+    n_buckets = table.n_buckets
+
+    changes = compacted.withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
+
+    # touched buckets: tiny driver-side list (<= n_buckets ints)
+    touched = sorted(
+        r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+    )
+    if not touched:
+        table.commit_data([], set(), applied_upto_lsn, batch_id,
+                          {"events": 0, "note": "empty batch",
+                           **(extra_metrics or {})})
+        return {"rows_written": 0, "buckets": 0, "secs": time.time() - t0}
+
+    target = table.read(spark, buckets=touched)
+
+    s = changes.alias("s")
+    t = target.alias("t")
+    joined = t.join(s, on=pk, how="full_outer")
+
+    take_source = F.col("s.lsn").isNotNull() & (
+        F.col("t._last_lsn").isNull() | (F.col("s.lsn") > F.col("t._last_lsn"))
+    )
+    keep = F.when(take_source, F.col("s.op") != F.lit(OP_DELETE)).otherwise(
+        F.col("t._last_lsn").isNotNull()
+    )
+
+    out_cols = [F.col(c) for c in pk]
+    for c in data_cols:
+        out_cols.append(
+            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        )
+    out_cols.append(
+        F.when(take_source, F.col("s.lsn")).otherwise(F.col("t._last_lsn")).alias("_last_lsn")
+    )
+    out_cols.append(
+        F.when(take_source, F.col("s.txid")).otherwise(F.col("t._last_txid")).alias("_last_txid")
+    )
+
+    result = (
+        joined.filter(keep)
+        .select(*out_cols)
+        .withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
+        # one write task per touched bucket: bounded file count, COW-friendly
+        .repartition(max(len(touched), 1), "_bucket")
+    )
+
+    new_files = table.write_data_files(result, spark)
+    rows = sum(f["rows"] for f in new_files)
+    metrics = {
+        "events_compacted": None,  # caller may fill
+        "rows_written": rows,
+        "buckets_touched": len(touched),
+        "files_written": len(new_files),
+        "merge_secs": round(time.time() - t0, 3),
+        **(extra_metrics or {}),
+    }
+    table.commit_data(new_files, set(touched), applied_upto_lsn, batch_id, metrics)
+    return {"rows_written": rows, "buckets": len(touched), "secs": time.time() - t0}

@@ -1,0 +1,104 @@
+"""Replay batch planning: epochs at schema changes, cuts at commit LSNs.
+
+The reference consumes one transaction at a time off the socket
+(/root/reference/src/replication.rs:114-141); the batch analog slices the
+captured log into LSN ranges such that
+
+* no transaction straddles a batch boundary (cuts are COMMIT-marker LSNs —
+  transactions are serial in the WAL, so every event of a txn has
+  lsn <= its commit LSN and > the previous txn's commit LSN): the reference's
+  "only whole committed transactions are visible" rule (SURVEY §2.9 T2);
+* schema-change (R) events sit on their own boundary: each evolution is a
+  batch of its own, applied to table metadata BEFORE the following data
+  batch — the transactional-evolution rule.
+
+Planning is cheap at any scale: R events are found with a JVM-side
+``contains(payload, ...)`` prefilter (no JSON parse of the full log), and
+sub-batch cut points use ``approxQuantile`` over commit LSNs instead of
+collecting them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.parse import parse_events
+
+
+@dataclass(frozen=True)
+class BatchPlan:
+    kind: str  # 'data' | 'schema'
+    lsn_from: int  # exclusive
+    lsn_to: int  # inclusive
+    change: tuple[str, str, str] | None = None  # (kind, column, type) for 'schema'
+
+
+def plan_batches(
+    raw: DataFrame, target_data_batches: int = 1, parse_mode: str = "native"
+) -> list[BatchPlan]:
+    """Plan the replay over a raw (lsn, payload) log scan."""
+    bounds = raw.agg(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+    ).collect()[0]
+    if bounds["hi"] is None:
+        return []
+    max_lsn = int(bounds["hi"])
+
+    # schema-change events: rare; cheap substring prefilter, then a real parse
+    r_rows = (
+        parse_events(
+            raw.filter(F.col("payload").contains('"op":"R"')), mode=parse_mode
+        )
+        .filter(F.col("op") == "R")
+        .select("lsn", "schema_change")
+        .collect()
+    )
+    r_rows.sort(key=lambda r: r["lsn"])
+
+    plans: list[BatchPlan] = []
+    prev = 0  # exclusive lower bound
+    for r in r_rows:
+        r_lsn = int(r["lsn"])
+        # R sits inside its own (B,R,C) txn: include it + its commit marker
+        # in the schema batch; data before it forms the preceding epoch.
+        if r_lsn - 2 > prev:
+            plans.extend(
+                _split_data_epoch(raw, prev, r_lsn - 2, target_data_batches, parse_mode)
+            )
+        ch = r["schema_change"]
+        plans.append(
+            BatchPlan(
+                "schema", r_lsn - 2, min(r_lsn + 1, max_lsn),
+                (ch["kind"], ch["column"], ch["type"]),
+            )
+        )
+        prev = min(r_lsn + 1, max_lsn)
+    if prev < max_lsn:
+        plans.extend(
+            _split_data_epoch(raw, prev, max_lsn, target_data_batches, parse_mode)
+        )
+    return plans
+
+
+def _split_data_epoch(
+    raw: DataFrame, lo: int, hi: int, n: int, parse_mode: str
+) -> list[BatchPlan]:
+    if n <= 1:
+        return [BatchPlan("data", lo, hi)]
+    commits = raw.filter(
+        (F.col("lsn") > lo) & (F.col("lsn") <= hi)
+        & F.col("payload").contains('"op":"C"')
+    ).select("lsn")
+    qs = [i / n for i in range(1, n)]
+    cuts = sorted(set(int(c) for c in commits.approxQuantile("lsn", qs, 0.001)))
+    plans = []
+    prev = lo
+    for c in cuts:
+        if c > prev and c < hi:
+            plans.append(BatchPlan("data", prev, c))
+            prev = c
+    plans.append(BatchPlan("data", prev, hi))
+    return plans

@@ -1,0 +1,357 @@
+"""Iceberg-semantics table format in pure Python + Parquet.
+
+The sandbox has no Iceberg/Delta jars (no network), so the lake table the
+engine MERGEs into is implemented here following the public Apache Iceberg
+spec's *semantics* — snapshot isolation via an atomically-swapped metadata
+pointer, schema evolution by stable field ids, manifest-tracked data files
+with partition (bucket) pruning — minus the Java runtime.  The materialized
+state it holds is the distributed analog of the reference subscriber's
+``HashMap<Uuid, Tenant>`` (/root/reference/src/types/mod.rs:39), with lineage
+columns ``_last_lsn``/``_last_txid`` playing the role of the reference's
+``xmin`` (src/types/tenant/mod.rs:7).
+
+Layout::
+
+    <table>/metadata/version-hint.text     current version N (atomic pointer)
+    <table>/metadata/v<N>.metadata.json    schema(s), manifest, offsets
+    <table>/data/<bucket>/<uuid>.parquet   data files (COW, bucket-granular)
+
+Commit protocol (crash-safe on a POSIX fs): write data files -> write
+v<N+1>.metadata.json -> write hint to a temp file -> ``os.replace`` onto
+version-hint.text.  A crash anywhere before the final rename leaves the
+previous snapshot fully readable; orphaned files are ignored by the manifest.
+
+Partitioning: hash buckets ``pmod(xxhash64(repo, path), n_buckets)`` — the
+bucket of a row is a pure function of its primary key, so MERGE touches only
+the buckets its change-set hashes into, and reads prune to manifest entries of
+wanted buckets (Iceberg-style file-level pruning, independent of Spark's
+directory discovery).
+
+Checkpoint/resume: each snapshot records ``applied_upto_lsn`` (the replication
+slot's confirmed-LSN analog, reference src/replication.rs:59-75) plus
+per-bucket max applied LSNs — the per-partition offsets the north_rule
+requires.  Offsets commit atomically WITH the data (same metadata file), which
+is what makes replay exactly-once: re-running an already-applied batch is a
+metadata no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import REPOS_PK, TableSchema
+
+FORMAT_VERSION = 1
+LINEAGE_FIELDS = [
+    T.StructField("_last_lsn", T.LongType(), True),
+    T.StructField("_last_txid", T.LongType(), True),
+]
+
+
+def bucket_expr(n_buckets: int, pk: tuple[str, ...] = REPOS_PK) -> Column:
+    """The partition transform: stable hash bucket of the primary key."""
+    return F.pmod(F.xxhash64(*pk), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """Handle on a table directory; all state lives on disk."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._meta: dict | None = None
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, "metadata")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def _hint_path(self) -> str:
+        return os.path.join(self._meta_dir, "version-hint.text")
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version}.metadata.json")
+
+    # ------------------------------------------------------------- lifecycle
+    @staticmethod
+    def create(
+        path: str,
+        schema: TableSchema,
+        pk: tuple[str, ...] = REPOS_PK,
+        n_buckets: int = 64,
+        exist_ok: bool = False,
+    ) -> "LakeTable":
+        t = LakeTable(path)
+        if os.path.exists(t._hint_path):
+            if exist_ok:
+                return t
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(t._meta_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "table_uuid": str(uuid.uuid4()),
+            "version": 0,
+            "pk": list(pk),
+            "partition_spec": {"transform": "bucket", "source": list(pk), "n": n_buckets},
+            "schema": schema.to_json(),
+            "schemas": [schema.to_json()],
+            "snapshot": {
+                "snapshot_id": 0,
+                "parent_id": None,
+                "applied_upto_lsn": 0,
+                "batch_id": -1,
+                "manifest": [],
+                "offsets": {},
+                "metrics": {},
+                "timestamp_ms": int(time.time() * 1000),
+            },
+        }
+        t._write_meta(meta)
+        return t
+
+    @staticmethod
+    def load(path: str) -> "LakeTable":
+        t = LakeTable(path)
+        t.metadata()  # force read
+        return t
+
+    def _write_meta(self, meta: dict) -> None:
+        v = meta["version"]
+        mp = self._meta_path(v)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, mp)
+        hint_tmp = self._hint_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(hint_tmp, self._hint_path)  # THE atomic commit point
+        self._meta = meta
+
+    # --------------------------------------------------------------- readers
+    def metadata(self, refresh: bool = True) -> dict:
+        if self._meta is not None and not refresh:
+            return self._meta
+        with open(self._hint_path) as f:
+            v = int(f.read().strip())
+        with open(self._meta_path(v)) as f:
+            self._meta = json.load(f)
+        return self._meta
+
+    @property
+    def schema(self) -> TableSchema:
+        return TableSchema.from_json(self.metadata(refresh=False)["schema"])
+
+    @property
+    def version(self) -> int:
+        return self.metadata(refresh=False)["version"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.metadata(refresh=False)["partition_spec"]["n"]
+
+    @property
+    def pk(self) -> tuple[str, ...]:
+        return tuple(self.metadata(refresh=False)["pk"])
+
+    @property
+    def applied_upto_lsn(self) -> int:
+        return self.metadata(refresh=False)["snapshot"]["applied_upto_lsn"]
+
+    def schema_by_id(self, schema_id: int) -> TableSchema:
+        for s in self.metadata(refresh=False)["schemas"]:
+            if s["schema_id"] == schema_id:
+                return TableSchema.from_json(s)
+        raise KeyError(f"no schema_id {schema_id}")
+
+    def read(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """Current-snapshot scan, schema-reconciled to the current schema.
+
+        Manifest-level bucket pruning: only files of wanted buckets are read
+        at all.  Files written under older schema ids are read with their own
+        physical schema, then projected/cast to the current one (missing
+        column -> NULL, widened type -> upcast) — read-time evolution by
+        field id, as the Iceberg spec prescribes.
+        """
+        meta = self.metadata()
+        current = TableSchema.from_json(meta["schema"])
+        manifest = meta["snapshot"]["manifest"]
+        if buckets is not None:
+            want = set(buckets)
+            manifest = [m for m in manifest if m["bucket"] in want]
+
+        out_struct = current.to_spark(with_lineage=True)
+        if not manifest:
+            df = spark.createDataFrame([], out_struct)
+            return (
+                df.withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
+                if with_bucket_col
+                else df
+            )
+
+        by_schema: dict[int, list[str]] = {}
+        for m in manifest:
+            by_schema.setdefault(m["schema_id"], []).append(
+                os.path.join(self.path, m["path"])
+            )
+
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_schema.items()):
+            file_schema = self.schema_by_id(sid)
+            struct = T.StructType(
+                [*file_schema.to_spark(with_lineage=False).fields, *LINEAGE_FIELDS]
+            )
+            df = spark.read.schema(struct).parquet(*paths)
+            file_names = {f.name for f in file_schema.fields}
+            cols = []
+            for f in current.fields:
+                if f.name in file_names:
+                    cols.append(F.col(f.name).cast(out_struct[f.name].dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(out_struct[f.name].dataType).alias(f.name))
+            cols += [F.col("_last_lsn"), F.col("_last_txid")]
+            parts.append(df.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if with_bucket_col:
+            df = df.withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
+        return df
+
+    # --------------------------------------------------------------- writers
+    def evolve_schema(self, kind: str, column: str, type_name: str,
+                      applied_upto_lsn: int | None = None) -> None:
+        """Metadata-only snapshot applying one schema change.
+
+        Committed BEFORE the affected data batch (transactional schema
+        evolution: readers never see data written under a schema that is not
+        yet in the metadata).  Idempotent per LSN watermark.
+        """
+        meta = self.metadata()
+        schema = TableSchema.from_json(meta["schema"]).apply_change(kind, column, type_name)
+        new_meta = dict(meta)
+        new_meta["version"] = meta["version"] + 1
+        new_meta["schema"] = schema.to_json()
+        new_meta["schemas"] = [*meta["schemas"], schema.to_json()]
+        snap = dict(meta["snapshot"])
+        snap["snapshot_id"] = new_meta["version"]
+        snap["parent_id"] = meta["snapshot"]["snapshot_id"]
+        snap["timestamp_ms"] = int(time.time() * 1000)
+        if applied_upto_lsn is not None:
+            snap["applied_upto_lsn"] = applied_upto_lsn
+        snap["metrics"] = {"kind": "schema_evolution", "change": [kind, column, type_name]}
+        new_meta["snapshot"] = snap
+        self._write_meta(new_meta)
+
+    def commit_data(
+        self,
+        new_files: list[dict],
+        replaced_buckets: set[int],
+        applied_upto_lsn: int,
+        batch_id: int,
+        metrics: dict | None = None,
+    ) -> None:
+        """Copy-on-write snapshot: replace all files of ``replaced_buckets``
+        with ``new_files`` (each: {path, bucket, schema_id, rows, max_lsn})."""
+        meta = self.metadata()
+        keep = [m for m in meta["snapshot"]["manifest"] if m["bucket"] not in replaced_buckets]
+        manifest = keep + new_files
+        offsets = dict(meta["snapshot"].get("offsets", {}))
+        for nf in new_files:
+            if nf.get("max_lsn") is not None:
+                offsets[str(nf["bucket"])] = max(
+                    int(offsets.get(str(nf["bucket"]), 0)), int(nf["max_lsn"])
+                )
+        new_meta = dict(meta)
+        new_meta["version"] = meta["version"] + 1
+        snap = {
+            "snapshot_id": new_meta["version"],
+            "parent_id": meta["snapshot"]["snapshot_id"],
+            "applied_upto_lsn": applied_upto_lsn,
+            "batch_id": batch_id,
+            "manifest": manifest,
+            "offsets": offsets,
+            "metrics": metrics or {},
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        new_meta["snapshot"] = snap
+        self._write_meta(new_meta)
+
+    def write_data_files(self, result: DataFrame, spark: SparkSession) -> list[dict]:
+        """Write a MERGE result (must carry ``_bucket``) as new data files.
+
+        Writes via Spark partitioned-by-bucket into a staging dir, then moves
+        files into data/<bucket>/ and harvests per-file stats (row count, max
+        applied LSN) from the Parquet footers — no extra Spark job.
+        """
+        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:12]}")
+        (
+            result.write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("_bucket")
+            .parquet(stage)
+        )
+        schema_id = self.schema.schema_id
+        new_files: list[dict] = []
+        for entry in sorted(os.listdir(stage)):
+            if not entry.startswith("_bucket="):
+                continue
+            bucket = int(entry.split("=", 1)[1])
+            bdir = os.path.join(stage, entry)
+            os.makedirs(os.path.join(self._data_dir, str(bucket)), exist_ok=True)
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                dst_rel = os.path.join("data", str(bucket), f"{uuid.uuid4().hex}.parquet")
+                dst = os.path.join(self.path, dst_rel)
+                os.replace(os.path.join(bdir, fn), dst)
+                md = pq.ParquetFile(dst).metadata
+                max_lsn = None
+                try:
+                    idx = md.schema.to_arrow_schema().get_field_index("_last_lsn")
+                    stats = [
+                        md.row_group(i).column(idx).statistics
+                        for i in range(md.num_row_groups)
+                    ]
+                    vals = [s.max for s in stats if s is not None and s.has_min_max]
+                    if vals:
+                        max_lsn = max(vals)
+                except Exception:
+                    pass
+                new_files.append(
+                    {
+                        "path": dst_rel,
+                        "bucket": bucket,
+                        "schema_id": schema_id,
+                        "rows": md.num_rows,
+                        "max_lsn": max_lsn,
+                    }
+                )
+        # clean staging remnants
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_files

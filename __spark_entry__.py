@@ -1,38 +1,535 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (the CDC
+dataflow operators, expressed over the driver's testdata tables) plus the
+training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal plumbing).  ``oracle_sql()`` gives the DuckDB-checkable ANSI twin
+for each; genuinely non-SQL-expressible ops (MinHash/SimHash/LSH — they
+depend on xxhash64 / numpy hyperplanes) are exposed without an oracle and get
+the driver's rows-only check.
+
+Column aliases match between Spark and SQL exactly (the driver hashes values
+under sorted column names).  Floats are rounded on BOTH sides before compare.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# importable regardless of the caller's cwd, driver- AND executor-side
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from logicaldecoding_spark.dist import ship_package
+
+    ship_package(spark)  # executor workers need the package for pandas UDFs
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC engine's core operator — per-key last-writer-wins
+    compaction (SURVEY §2.4 A2) — over the sf0.001 events stream."""
+    return _q_a2_last_writer_wins(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# CDC operator demos over the events stream (SURVEY §2)
+# ---------------------------------------------------------------------------
+def _q_s4_event_filter(spark, sf):  # S4/P1: frame demux = filter on type
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+
+
+def _q_s8_point_lookup(spark, sf):  # S8: point lookup by key
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("event_id") == 500).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def _q_s9_semi_join(spark, sf):  # S9/J2: IN-list / semi-join lookup
+    ev = _t(spark, sf, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return (
+        ev.join(signups, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_a1_txn_assembly(spark, sf):  # A1: group-fold per txn(user) envelope
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def _q_a2_last_writer_wins(spark, sf):  # A2: per-key last-wins via max_by
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(F.col("event_type"), F.col("value")),
+            F.struct(F.col("ts"), F.col("event_id")),
+        ).alias("_e")
+    ).select(
+        "user_id",
+        F.col("_e.event_type").alias("last_event_type"),
+        F.round(F.col("_e.value"), 4).alias("last_value"),
+    )
+
+
+def _q_a2_salted_lww(spark, sf):  # A2 + explicit salt (two-phase reduce)
+    from logicaldecoding_spark.operators.compaction import last_writer_wins
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = last_writer_wins(ev, pk=("user_id",), order=("ts", "event_id"),
+                           salt_buckets=8)
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 4).alias("last_value"),
+    )
+
+
+def _q_s5_props_parse(spark, sf):  # S5/P3: vectorized payload parse + agg
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count("k").alias("n_k")
+    )
+
+
+def _q_o1_global_order(spark, sf):  # O1: total order + limit
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .select("event_id", "user_id", "event_type")
+        .limit(100)
+    )
+
+
+def _q_t9_window_tumbling(spark, sf):  # T-style tumbling window agg (batch)
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def _q_w1_topk_per_group(spark, sf):  # top-k per group window
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", F.round("value", 4).alias("value"))
+    )
+
+
+def _q_j1_keyed_merge(spark, sf):  # J1: keyed lookup-and-merge (MERGE shape)
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), "c_name"
+    )
+    last = _q_a2_last_writer_wins(spark, sf).select(
+        F.col("user_id").alias("key"), "last_event_type"
+    )
+    j = cust.join(last, "key", "full_outer")
+    status = (
+        F.when(F.col("c_name").isNull(), F.lit("insert"))
+        .when(F.col("last_event_type").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return j.select("key", "c_name", "last_event_type", status.alias("merge_action"))
+
+
+# ---------------------------------------------------------------------------
+# relational/agg engine demos (Catalyst-native)
+# ---------------------------------------------------------------------------
+def _q_q1_pricing_summary(spark, sf):  # TPC-H Q1 shape
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_q3_top_orders(spark, sf):  # join + agg + deterministic top-k
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        j.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+    )
+
+
+def _q_s7_full_scan(spark, sf):  # S7: verification full scan (counts)
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.countDistinct("l_orderkey").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+def _q_dedup_exact(spark, sf):
+    from logicaldecoding_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    from logicaldecoding_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    return ngram_jaccard_all_pairs(docs, threshold=0.55, shingle_k=3)
+
+
+def _q_dedup_minhash(spark, sf):  # rows-only check (xxhash64-based)
+    from logicaldecoding_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_dedup_pairs(docs, threshold=0.6, shingle_k=5)
+
+
+def _q_dedup_simhash(spark, sf):  # rows-only check
+    from logicaldecoding_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+
+
+def _q_dedup_embedding(spark, sf):
+    from logicaldecoding_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _q_text_token_stats(spark, sf):
+    from logicaldecoding_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf, "documents"))
+
+
+def _q_text_quality(spark, sf):
+    from logicaldecoding_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def _q_text_lang_id(spark, sf):
+    from logicaldecoding_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def _q_text_fingerprint(spark, sf):
+    from logicaldecoding_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+def _q_knn_bruteforce(spark, sf):
+    from logicaldecoding_spark.operators.similarity import knn_bruteforce
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_bruteforce(emb, queries, k=10)
+
+
+def _q_knn_lsh(spark, sf):  # rows-only check (numpy hyperplanes)
+    from logicaldecoding_spark.operators.similarity import knn_lsh
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_lsh(emb, queries, dim=64, k=10)
+
+
+def _q_mm_binary_meta(spark, sf):
+    from logicaldecoding_spark.operators.multimodal import attach_binary, binary_meta
+
+    return binary_meta(attach_binary(_t(spark, sf, "documents")))
+
+
+def _q_mm_decode_stub(spark, sf):
+    from logicaldecoding_spark.operators.multimodal import attach_binary, decode_media
+
+    return decode_media(attach_binary(_t(spark, sf, "documents")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s4_event_filter": _q_s4_event_filter,
+        "s8_point_lookup": _q_s8_point_lookup,
+        "s9_semi_join": _q_s9_semi_join,
+        "a1_txn_assembly": _q_a1_txn_assembly,
+        "a2_last_writer_wins": _q_a2_last_writer_wins,
+        "a2_salted_lww": _q_a2_salted_lww,
+        "s5_props_parse": _q_s5_props_parse,
+        "o1_global_order": _q_o1_global_order,
+        "t9_window_tumbling": _q_t9_window_tumbling,
+        "w1_topk_per_group": _q_w1_topk_per_group,
+        "j1_keyed_merge": _q_j1_keyed_merge,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_top_orders": _q_q3_top_orders,
+        "s7_full_scan": _q_s7_full_scan,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "mm_binary_meta": _q_mm_binary_meta,
+        "mm_decode_stub": _q_mm_decode_stub,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the pre-registered views)
+# ---------------------------------------------------------------------------
+_SHINGLES3 = (
+    "list_distinct([substring(text, i, 3) for i in range(1, greatest(len(text)-2,1)+1)])"
+)
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOP = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
+    "es": "['el','la','de','que','y','en','un','es','se','no']",
+}
+_HITS = {
+    lang: f"len(list_filter({_TOKENS}, t -> list_contains({lst}, t)))"
+    for lang, lst in _STOP.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s4_event_filter": """
+            SELECT event_id, user_id, round(value, 4) AS value
+            FROM events WHERE event_type = 'error'
+        """,
+        "s8_point_lookup": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_id = 500
+        """,
+        "s9_semi_join": """
+            SELECT event_type, count(*) AS n FROM events
+            WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                              WHERE event_type = 'signup')
+            GROUP BY event_type
+        """,
+        "a1_txn_assembly": """
+            SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+                   max(ts) AS last_ts, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "a2_last_writer_wins": """
+            SELECT user_id, event_type AS last_event_type,
+                   round(value, 4) AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "a2_salted_lww": """
+            SELECT user_id, event_type AS last_event_type,
+                   round(value, 4) AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) WHERE rn = 1
+        """,
+        "s5_props_parse": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "o1_global_order": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY ts DESC, event_id ASC LIMIT 100
+        """,
+        "t9_window_tumbling": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "w1_topk_per_group": """
+            SELECT event_type, rn AS rank, event_id, round(value, 4) AS value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY event_type ORDER BY value DESC, event_id) rn
+                  FROM events) WHERE rn <= 3
+        """,
+        "j1_keyed_merge": """
+            SELECT coalesce(c.c_custkey, e.user_id) AS key, c.c_name,
+                   e.last_event_type,
+                   CASE WHEN c.c_name IS NULL THEN 'insert'
+                        WHEN e.last_event_type IS NULL THEN 'keep'
+                        ELSE 'update' END AS merge_action
+            FROM customer c FULL OUTER JOIN
+                 (SELECT user_id, event_type AS last_event_type
+                  FROM (SELECT *, row_number() OVER
+                          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                        FROM events) WHERE rn = 1) e
+            ON c.c_custkey = e.user_id
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "s7_full_scan": """
+            SELECT l_returnflag, count(*) AS n,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedup_exact": """
+            SELECT doc_id, sha256(text) AS content_hash,
+                   row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+                       AS dup_rank,
+                   count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES3} AS s
+                        FROM documents WHERE doc_id < 80)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(a.s || b.s)), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(a.s || b.s)) >= 0.55
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "text_token_stats": f"""
+            SELECT doc_id, len({_TOKENS}) AS n_tokens, len(text) AS n_chars,
+                   list_sum(list_transform({_TOKENS},
+                       t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS n_subwords
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   round((len(text) - (len({_TOKENS}) - 1)) * 1.0
+                         / len({_TOKENS}), 4) AS mean_token_len,
+                   round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                         / len(text), 4) AS alpha_ratio,
+                   round({_HITS['en']} * 1.0 / len({_TOKENS}), 4) AS stopword_ratio,
+                   round(least(len({_TOKENS}) / 100.0, 1.0) * 0.4
+                         + least({_HITS['en']} * 1.0 / len({_TOKENS}) * 5.0, 1.0) * 0.3
+                         + len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                           / len(text) * 0.3, 4) AS quality
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id,
+                   {_HITS['en']} AS hits_en,
+                   {_HITS['de']} AS hits_de,
+                   {_HITS['es']} AS hits_es,
+                   CASE WHEN greatest({_HITS['en']}, {_HITS['de']}, {_HITS['es']}) <= 0
+                            THEN 'und'
+                        WHEN {_HITS['en']} = greatest({_HITS['en']}, {_HITS['de']},
+                                                      {_HITS['es']}) THEN 'en'
+                        WHEN {_HITS['de']} = greatest({_HITS['en']}, {_HITS['de']},
+                                                      {_HITS['es']}) THEN 'de'
+                        ELSE 'es' END AS lang_pred
+            FROM documents
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, md5(text) AS fp_full,
+                   md5(array_to_string({_TOKENS}[1:8], ' ')) AS fp_prefix
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, neighbor_id, cos, rn AS rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]), 4) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
+                               c.vec_id ASC) AS rn
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rn <= 10
+        """,
+        "mm_binary_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "mm_decode_stub": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256,
+                   16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240 AS width,
+                   16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS height,
+                   'stub' AS format
+            FROM documents
+        """,
+        # dedup_minhash, dedup_simhash, knn_lsh: no SQL oracle (hash-function
+        # dependent); driver records the weaker rows-only check.
+    }

@@ -1,0 +1,155 @@
+"""Benchmark harness (driver contract).
+
+Headline metric: end-to-end CDC replay throughput — change-events/sec from a
+captured WAL log to a correct, converged lake-table state (the BASELINE.json
+metric), measured on local[$SPARK_GRAFT_CPUS] over a deterministic generated
+log sized by the scale factor of $SPARK_GRAFT_SF_DIR.  Also times a spread of
+headline operator queries from __spark_entry__ at that scale factor.
+
+Prints exactly ONE JSON line:
+  {"metric": "cdc_replay_wall", "value": <sec>, "unit": "sec",
+   "events": N, "events_per_sec": X, "queries": {...}, "sf": ...}
+
+The log is cached under .bench/ (keyed by params) so repeated runs measure
+the engine, not the generator.  Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by scripts/run_scaling.py, reported in
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from logicaldecoding_spark.generator import default_evolution, generate_log  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_log_path(sf: float, cache_dir: str | None = None) -> tuple[str, dict]:
+    """Deterministic cached WAL log sized by sf.  sf=0.1 -> ~2.4M change events.
+
+    Schema-evolution events sit early in the log (1/2/3% of txns) so the bulk
+    of the replay is one large epoch — the shape a steady-state CDC pipeline
+    has (schema changes are rare barriers, not periodic splits)."""
+    from logicaldecoding_spark.generator import SchemaChangeSpec
+
+    n_txns = max(2000, int(4_800_000 * sf))
+    cache = cache_dir or os.path.join(REPO, ".bench")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"wal_v2_t{n_txns}.parquet")
+    meta_path = path + ".meta.json"
+    if os.path.exists(path) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return path, json.load(f)
+    stats = generate_log(
+        path,
+        n_txns=n_txns,
+        n_repos=max(200, int(n_txns / 100)),
+        paths_per_repo=50,
+        content_min_reps=1,
+        content_max_reps=6,
+        schema_changes=[
+            SchemaChangeSpec(n_txns // 100, "add_column", "size", "int"),
+            SchemaChangeSpec(n_txns // 50, "add_column", "stars", "long"),
+            SchemaChangeSpec(3 * n_txns // 100, "widen_type", "size", "long"),
+        ],
+        chunk_txns=200_000,
+    )
+    with open(meta_path, "w") as f:
+        json.dump(stats, f)
+    return path, stats
+
+
+def run_replay(spark, log_path: str, table_path: str, parse_mode: str,
+               salt_buckets: int | None = None) -> dict:
+    from logicaldecoding_spark.plans.replay import replay
+
+    t0 = time.time()
+    run = replay(
+        spark, log_path, table_path,
+        parse_mode=parse_mode, n_buckets=64, n_data_batches=1,
+        salt_buckets=salt_buckets,
+    )
+    run["wall_secs"] = time.time() - t0
+    return run
+
+
+def main() -> None:
+    import shutil
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parse_mode = os.environ.get("BENCH_PARSE_MODE", "arrow")
+    sf = sf_of(sf_dir)
+
+    log_path, stats = bench_log_path(sf)
+
+    from logicaldecoding_spark.session import get_spark
+
+    # shuffle partitions sized to the data (~100MB of compacted change rows
+    # -> 16 reduce tasks), Arrow batches sized to bound per-worker footprint
+    spark = get_spark(
+        "bench", cores=cpus, shuffle_partitions=max(8, min(16, 2 * cpus)),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "16384",
+        },
+    )
+
+    # warmup: exercise scan/parse/shuffle/python-worker paths once so the
+    # timed run measures the engine, not JVM JIT + worker spawn
+    warm_table = os.path.join(REPO, ".bench", f"warm_{cpus}_{parse_mode}")
+    shutil.rmtree(warm_table, ignore_errors=True)
+    warm_log, _ = bench_log_path(0.001)
+    run_replay(spark, warm_log, warm_table, parse_mode)
+
+    # --- headline: CDC replay on a fresh table ---
+    table_path = os.path.join(REPO, ".bench", f"table_{cpus}_{parse_mode}")
+    shutil.rmtree(table_path, ignore_errors=True)
+    run = run_replay(spark, log_path, table_path, parse_mode)
+    events = stats["data_events"]
+    eps = events / run["wall_secs"]
+
+    # --- headline operator queries at the sf dir ---
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    query_secs: dict[str, float] = {}
+    for name in (
+        "a2_last_writer_wins", "q1_pricing_summary", "s5_props_parse",
+        "dedup_exact", "text_quality", "knn_bruteforce", "dedup_minhash",
+    ):
+        t0 = time.time()
+        q[name](spark, sf_dir).collect()
+        query_secs[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "cdc_replay_wall",
+        "value": round(run["wall_secs"], 3),
+        "unit": "sec",
+        "events": events,
+        "events_per_sec": round(eps, 1),
+        "log_rows": stats["rows"],
+        "parse_mode": parse_mode,
+        "cpus": cpus,
+        "queries": query_secs,
+        "sf": sf,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

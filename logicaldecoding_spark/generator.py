@@ -100,7 +100,7 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def _hex40(seed: int, lsn: np.ndarray) -> np.ndarray:
+def _hex40(seed: int, lsn: np.ndarray) -> pa.Array:
     """40-char deterministic hex 'commit sha' from (seed, lsn)."""
     a = _mix64(lsn.astype(np.uint64) + np.uint64(seed * 0x9E3779B9))
     b = _mix64(a + np.uint64(1))
@@ -108,7 +108,8 @@ def _hex40(seed: int, lsn: np.ndarray) -> np.ndarray:
     sa = np.char.mod("%016x", a)
     sb = np.char.mod("%016x", b)
     sc = np.char.mod("%08x", (a >> np.uint64(32)).astype(np.uint32))
-    return np.char.add(np.char.add(sa, sb), sc)
+    return _J(pa.array(sa, pa.string()), pa.array(sb, pa.string()),
+              pa.array(sc, pa.string()))
 
 
 def _zipf_probs(n: int, s: float) -> np.ndarray:
@@ -118,13 +119,17 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# JSON payload assembly (vectorized string concat; all values JSON-safe ASCII)
+# JSON payload assembly — all concatenation runs in Arrow C++ kernels
+# (binary_join_element_wise / if_else / binary_repeat); numpy only produces
+# the numeric/hex building blocks.  All values are JSON-safe ASCII.
 # ---------------------------------------------------------------------------
-def _jfield(key: str, vals: np.ndarray, quote: bool = True, last: bool = False) -> np.ndarray:
-    sep = "" if last else ","
-    if quote:
-        return np.char.add(np.char.add(f'"{key}":"', vals), f'"{sep}')
-    return np.char.add(np.char.add(f'"{key}":', vals), sep)
+def _J(*parts) -> pa.Array:
+    """Elementwise concat of string arrays/scalars (C++, single pass)."""
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def _istr(arr: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(arr), pa.string())
 
 
 class WalLogGenerator:
@@ -176,13 +181,11 @@ class WalLogGenerator:
         d_op = data_op
         repo_i = rng.choice(p.n_repos, size=n_data, p=self.repo_probs)
         path_j = rng.integers(0, p.paths_per_repo, size=n_data)
-        repo = self.repo_names[repo_i]
-        path = np.char.add(
-            np.char.add("src/m", (path_j // 8).astype("U8")),
-            np.char.add(np.char.add("/f", path_j.astype("U8")), ".py"),
-        )
+        repo = pa.array(self.repo_names[repo_i], pa.string())
+        path = _J("src/m", _istr(path_j // 8), "/f", _istr(path_j), ".py")
         commit_sha = _hex40(p.seed, d_lsn)
-        lang_pick = _LANGS[rng.integers(0, len(_LANGS), size=n_data)]
+        lang_pick = pa.array(_LANGS[rng.integers(0, len(_LANGS), size=n_data)],
+                             pa.string())
         # inserts: lang NULL with p=0.1; updates: lang absent with p=0.5
         lang_null = np.where(
             d_op == OP_UPDATE,
@@ -191,14 +194,14 @@ class WalLogGenerator:
         )
         reps = rng.integers(p.content_min_reps, p.content_max_reps + 1, size=n_data)
         token = _mix64(d_lsn.astype(np.uint64) ^ np.uint64(p.seed))
-        line = np.char.add(
-            np.char.add("def f_", np.char.mod("%016x", token)),
-            np.char.add(
-                np.char.mod("(v): return (v * 31 + %d)", token % np.uint64(9973)),
-                " % 1000003  ",
-            ),
+        line = _J(
+            "def f_",
+            pa.array(np.char.mod("%016x", token), pa.string()),
+            "(v): return (v * 31 + ",
+            _istr((token % np.uint64(9973)).astype(np.int64)),
+            ") % 1000003  ",
         )
-        content = np.char.multiply(line, reps)
+        content = pc.binary_repeat(line, pa.array(reps.astype(np.int32)))
 
         # evolved-column values, active per-event by txn position
         txn_of_data = txn_idx[row_txn][is_data]
@@ -220,88 +223,55 @@ class WalLogGenerator:
         )
         stars_val = (d_lsn * 7) % 100_000
 
-        is_ins = d_op == OP_INSERT
         is_upd = d_op == OP_UPDATE
         is_del = d_op == OP_DELETE
-        has_new = is_ins | is_upd
+        has_new = ~is_del
 
-        # --- JSON payload (vectorized concat) ---
-        new_obj = np.char.add(
-            "{",
-            np.char.add(
-                _jfield("repo", repo),
-                np.char.add(
-                    _jfield("path", path),
-                    np.char.add(
-                        _jfield("commit", commit_sha),
-                        np.where(lang_null, "", _jfield("lang", lang_pick)),
-                    ),
-                ),
+        # --- JSON payload (Arrow C++ concat; no trailing commas by design) ---
+        empty = pa.scalar("", pa.string())
+        lang_part = pc.if_else(
+            pa.array(~lang_null), _J(',"lang":"', lang_pick, '"'), empty
+        )
+        size_part = pc.if_else(
+            pa.array(has_size), _J(',"size":"', _istr(size_val), '"'), empty
+        )
+        stars_part = pc.if_else(
+            pa.array(has_stars), _J(',"stars":"', _istr(stars_val), '"'), empty
+        )
+        new_part = pc.if_else(
+            pa.array(has_new),
+            _J(
+                ',"new":{"repo":"', repo, '","path":"', path,
+                '","commit":"', commit_sha, '"',
+                lang_part, size_part, stars_part,
+                ',"content":"', content, '"}',
             ),
+            empty,
         )
-        new_obj = np.char.add(
-            new_obj,
-            np.where(has_size, _jfield("size", size_val.astype("U20")), ""),
+        old_part = pc.if_else(
+            pa.array(is_upd | is_del),
+            _J(',"old":{"repo":"', repo, '","path":"', path, '"}'),
+            empty,
         )
-        new_obj = np.char.add(
-            new_obj,
-            np.where(has_stars, _jfield("stars", stars_val.astype("U20")), ""),
+        d_payload = _J(
+            '{"txid":', _istr(txid[is_data]),
+            ',"seq":', _istr(seq[is_data]),
+            ',"ct":', _istr(commit_time_us[is_data]),
+            ',"op":"', pa.array(d_op, pa.string()), '","table":"repos"',
+            new_part, old_part, "}",
         )
-        new_obj = np.char.add(new_obj, _jfield("content", content, last=True))
-        new_obj = np.char.add(new_obj, "}")
-
-        old_obj = np.char.add(
-            "{",
-            np.char.add(
-                _jfield("repo", repo), np.char.add(_jfield("path", path, last=True), "}")
-            ),
+        bc_payload = _J(
+            '{"txid":', _istr(txid[~is_data]),
+            ',"seq":0,"ct":', _istr(commit_time_us[~is_data]),
+            ',"op":"', pa.array(op[~is_data], pa.string()), '"}',
         )
-
-        d_payload = np.char.add(
-            "{",
-            np.char.add(
-                _jfield("txid", txid[is_data].astype("U20"), quote=False),
-                np.char.add(
-                    _jfield("seq", seq[is_data].astype("U10"), quote=False),
-                    np.char.add(
-                        _jfield("ct", commit_time_us[is_data].astype("U20"), quote=False),
-                        np.char.add(
-                            _jfield("op", d_op),
-                            _jfield("table", np.full(n_data, "repos")),
-                        ),
-                    ),
-                ),
-            ),
+        # scatter data/bc payloads back into log order (C++ take)
+        idx = np.empty(n_rows, dtype=np.int64)
+        idx[is_data] = np.arange(n_data)
+        idx[~is_data] = n_data + np.arange(n_rows - n_data)
+        payload = pc.take(
+            pa.concat_arrays([d_payload, bc_payload]), pa.array(idx)
         )
-        d_payload = np.char.add(
-            d_payload, np.where(has_new, _jfield("new", new_obj, quote=False), "")
-        )
-        d_payload = np.char.add(
-            d_payload,
-            np.where(
-                is_upd | is_del, _jfield("old", old_obj, quote=False, last=True), ""
-            ),
-        )
-        # inserts end with trailing comma from "new"; normalize
-        d_payload = np.char.add(np.char.rstrip(d_payload, ","), "}")
-
-        payload = np.empty(n_rows, dtype=object)
-        bc_payload = np.char.add(
-            "{",
-            np.char.add(
-                _jfield("txid", txid.astype("U20"), quote=False),
-                np.char.add(
-                    _jfield("seq", np.zeros(n_rows, dtype=np.int64).astype("U2"),
-                            quote=False),
-                    np.char.add(
-                        _jfield("ct", commit_time_us.astype("U20"), quote=False),
-                        np.char.add(_jfield("op", op, last=True), "}"),
-                    ),
-                ),
-            ),
-        )
-        payload[:] = bc_payload
-        payload[is_data] = d_payload
 
         tbl = pa.table(
             {
@@ -311,7 +281,7 @@ class WalLogGenerator:
                 "commit_time_us": pa.array(commit_time_us, pa.int64()),
                 "op": pa.array(op.astype(object), pa.string()),
                 "committed": pa.array(committed, pa.bool_()),
-                "payload": pa.array(payload, pa.string()),
+                "payload": payload,
             }
         )
         return tbl, lsn_start + n_rows
@@ -383,7 +353,8 @@ class WalLogGenerator:
                     n_rows += t.num_rows
                     continue
                 t, lsn = self._gen_txn_chunk(rng, txn, next_stop, lsn)
-                writer.write_table(t, row_group_size=1 << 20)
+                # small row groups => many splittable scan units for Spark
+                writer.write_table(t, row_group_size=1 << 17)
                 n_rows += t.num_rows
                 ops = pc.sum(
                     pc.is_in(t["op"], value_set=pa.array(["I", "U", "D"])).cast(pa.int64())

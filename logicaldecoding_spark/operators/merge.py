@@ -51,13 +51,20 @@ def merge_into(
     data_cols = [f.name for f in schema.fields if f.name not in pk]
     n_buckets = table.n_buckets
 
-    changes = compacted.withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
+    # persist: the compacted change-set (<= |keys| rows, orders of magnitude
+    # smaller than the event log) is consumed by two actions — the touched-
+    # bucket collect and the COW write.  Without this, the whole upstream
+    # parse/semi-join/compaction pipeline would execute twice.
+    changes = compacted.withColumn(
+        "_bucket", bucket_expr(n_buckets, tuple(pk))
+    ).persist()
 
     # touched buckets: tiny driver-side list (<= n_buckets ints)
     touched = sorted(
         r["_bucket"] for r in changes.select("_bucket").distinct().collect()
     )
     if not touched:
+        changes.unpersist()
         table.commit_data([], set(), applied_upto_lsn, batch_id,
                           {"events": 0, "note": "empty batch",
                            **(extra_metrics or {})})
@@ -97,6 +104,7 @@ def merge_into(
     )
 
     new_files = table.write_data_files(result, spark)
+    changes.unpersist()
     rows = sum(f["rows"] for f in new_files)
     metrics = {
         "events_compacted": None,  # caller may fill

@@ -89,7 +89,11 @@ def replay(
 
         tb0 = time.time()
         raw = read_wal_log(spark, log_path, lsn_from=b.lsn_from, lsn_to=b.lsn_to)
-        parsed = parse_events(raw, mode=parse_mode)
+        # persist the parsed batch: both the commit-marker side and the data
+        # side of transaction assembly read it, and a batch is bounded by
+        # construction — this is one parse pass per batch instead of two,
+        # and it stays bounded at any log size (cache scope = one batch)
+        parsed = parse_events(raw, mode=parse_mode).persist()
         data = committed_data_events(parsed)
         schema = table.schema  # current-at-epoch schema
         changes = typed_changes(data, schema, pk=pk)
@@ -103,6 +107,7 @@ def replay(
             extra_metrics={"lsn_from": b.lsn_from, "lsn_to": b.lsn_to,
                            "parse_mode": parse_mode},
         )
+        parsed.unpersist()
         batch_metrics.append(
             {
                 "batch": i,

@@ -33,7 +33,7 @@ def get_spark(
         master = f"local[{cores}]"
         n_cores = cores
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, 2 * n_cores)
+        shuffle_partitions = max(8, n_cores)
 
     builder = (
         SparkSession.builder.master(master)

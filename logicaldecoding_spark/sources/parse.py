@@ -4,18 +4,18 @@ The analog of the reference's per-message protobuf decode
 (``RowMessage::decode(&event[25..])``, /root/reference/src/replication.rs:120-122),
 re-expressed for Spark's batch execution in two interchangeable modes:
 
-* ``arrow``  — a scalar ``pandas_udf``: each Arrow batch of serialized payloads
-  is parsed in one shot by pyarrow's C++ JSON reader (the payloads are
-  newline-free JSON, so a batch is a valid JSONL document).  No per-row Python
-  in the parse itself; only the struct->dict materialization for the map
-  columns touches Python objects.  This is the north-star-mandated vectorized
-  Arrow-UDF path.
+* ``arrow``  — ``mapInArrow``: each Arrow record batch of serialized payloads
+  is parsed in one shot by pyarrow's C++ JSON reader (payloads are
+  newline-free JSON, so a batch is a valid JSONL document), and the dynamic
+  tuples are rebuilt as Arrow MapArrays with vectorized offset/key/value
+  construction — zero per-row Python anywhere.  This is the
+  north-star-mandated vectorized Arrow-UDF path.
 * ``native`` — ``from_json`` with an explicit schema: stays entirely JVM-side
-  inside whole-stage codegen.  Used as the performance reference; both modes
-  are property-tested to produce identical DataFrames.
+  inside whole-stage codegen.
 
-Output columns (beyond ``lsn``): txid, seq, commit_time_us, op, table,
-new_tuple (map<string,string>), old_tuple (map<string,string>), schema_change
+Both modes produce identical DataFrames (property-tested).  Output columns
+(beyond ``lsn``): txid, seq, commit_time_us, op, table, new_tuple
+(map<string,string>), old_tuple (map<string,string>), schema_change
 (struct<kind,column,type>).  ``committed`` is deliberately NOT produced here —
 commit status is derived downstream from COMMIT markers
 (operators/assembly.py), as logical decoding does for the reference.
@@ -24,14 +24,17 @@ commit status is derived downstream from COMMIT markers
 from __future__ import annotations
 
 import io
+from collections.abc import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as _pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schema import PARSED_EVENT_TYPE, SCHEMA_CHANGE_TYPE
+from ..schema import SCHEMA_CHANGE_TYPE
 
 # JSON wire schema of one payload (generator.py writes it; field 'ct' is
 # commit_time in unix microseconds — the reference converts the pg epoch-2000
@@ -49,88 +52,185 @@ _PAYLOAD_JSON_SCHEMA = T.StructType(
     ]
 )
 
-_OUT_COLS = [
-    "txid",
-    "seq",
-    "commit_time_us",
-    "op",
-    "table",
-    "new_tuple",
-    "old_tuple",
-    "schema_change",
-]
+_MAP_T = pa.map_(pa.string(), pa.string())
+_CHANGE_T = pa.struct(
+    [("kind", pa.string()), ("column", pa.string()), ("type", pa.string())]
+)
+_OUT_ARROW_SCHEMA = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("txid", pa.int64()),
+        ("seq", pa.int32()),
+        ("commit_time_us", pa.int64()),
+        ("op", pa.string()),
+        ("table", pa.string()),
+        ("new_tuple", _MAP_T),
+        ("old_tuple", _MAP_T),
+        ("schema_change", _CHANGE_T),
+    ]
+)
+
+_OUT_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("txid", T.LongType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("commit_time_us", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("new_tuple", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("old_tuple", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("schema_change", SCHEMA_CHANGE_TYPE),
+    ]
+)
 
 
-def _struct_col_to_dicts(table, name: str, n: int) -> list:
-    """Arrow struct column -> list of {k: v} dicts with None values dropped
-    (absent key == NULL/datum_missing, pg_logicaldec.proto:33)."""
-    if name not in table.column_names:
-        return [None] * n
-    out = []
-    for d in table[name].to_pylist():
-        if d is None:
-            out.append(None)
-        else:
-            out.append({k: v for k, v in d.items() if v is not None})
-    return out
+def _struct_to_map(col: pa.ChunkedArray | pa.Array | None, n: int) -> pa.Array:
+    """Arrow struct column -> MapArray, fully vectorized.
+
+    Entry per (row, field) where the field value is non-null — i.e. an absent
+    JSON key becomes an absent map key (NULL/datum_missing semantics,
+    pg_logicaldec.proto:33).  Rows where the whole struct is null become null
+    maps.  No per-row Python: per-FIELD numpy index work only.
+    """
+    if col is None:
+        return pa.nulls(n, _MAP_T)
+    sa = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ftype = sa.type
+    row_idx_parts: list[np.ndarray] = []
+    key_parts: list[pa.Array] = []
+    val_parts: list[pa.Array] = []
+    for fi in range(ftype.num_fields):
+        fname = ftype.field(fi).name
+        vals = sa.field(fi)
+        if vals.type != pa.string():
+            vals = vals.cast(pa.string())
+        valid = ~vals.is_null().to_numpy(zero_copy_only=False)
+        idx = np.nonzero(valid)[0]
+        if len(idx) == 0:
+            continue
+        row_idx_parts.append(idx)
+        key_parts.append(pa.array([fname] * len(idx), pa.string()))
+        val_parts.append(vals.take(pa.array(idx, pa.int64())))
+    if row_idx_parts:
+        row_idx = np.concatenate(row_idx_parts)
+        keys = pa.concat_arrays(key_parts)
+        vals = pa.concat_arrays(val_parts)
+        # stable sort by row: groups each row's entries contiguously while
+        # preserving field order within a row
+        order = np.argsort(row_idx, kind="stable")
+        row_idx = row_idx[order]
+        take = pa.array(order, pa.int64())
+        keys, vals = keys.take(take), vals.take(take)
+        counts = np.bincount(row_idx, minlength=n)
+    else:
+        keys = pa.array([], pa.string())
+        vals = pa.array([], pa.string())
+        counts = np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    offsets = offsets.astype(np.int32)
+    # null structs -> null map entries (offsets with nulls encode list nulls)
+    struct_null = sa.is_null().to_numpy(zero_copy_only=False)
+    if struct_null.any():
+        # a null at offsets position i marks ELEMENT i null; the final
+        # (n-th) offset must remain non-null
+        off = offsets.astype(object)
+        off[:-1][struct_null] = None
+        offsets_arr = pa.array(off.tolist(), pa.int32())
+    else:
+        offsets_arr = pa.array(offsets, pa.int32())
+    return pa.MapArray.from_arrays(offsets_arr, keys, vals)
 
 
-@F.pandas_udf(PARSED_EVENT_TYPE)
-def _parse_payload_arrow(payloads: pd.Series) -> pd.DataFrame:
+def _change_struct(col, n: int) -> pa.Array:
+    if col is None:
+        return pa.nulls(n, _CHANGE_T)
+    sa = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    present = {sa.type.field(i).name: sa.field(i) for i in range(sa.type.num_fields)}
+    fields = [
+        present.get(name, pa.nulls(n, pa.string())) for name in ("kind", "column", "type")
+    ]
+    return pa.StructArray.from_arrays(
+        fields, names=["kind", "column", "type"], mask=_pc.is_null(sa)
+    )
+
+
+def _parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    import pyarrow.compute as pc
     import pyarrow.json as paj
 
-    n = len(payloads)
-    if n == 0:
-        return pd.DataFrame({c: pd.Series([], dtype=object) for c in _OUT_COLS})
-    # one C++-vectorized JSON parse per Arrow batch
-    buf = io.BytesIO("\n".join(payloads.tolist()).encode("utf-8"))
-    tbl = paj.read_json(buf)
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        payloads = batch.column(batch.schema.get_field_index("payload"))
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        # one C++ JSON parse per batch: payloads are newline-free JSON, so
+        # the '\n'-join (also C++: binary_join over a one-element list) forms
+        # a valid JSONL document
+        lst = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), payloads)
+        joined = pc.binary_join(lst, "\n")
+        try:
+            reader = pa.BufferReader(joined[0].as_buffer())  # zero-copy
+        except AttributeError:
+            reader = io.BytesIO(joined[0].as_py().encode("utf-8"))
+        # single-threaded parse: one Spark task == one core (pyarrow's own
+        # thread pool would oversubscribe the executor N-fold)
+        tbl = paj.read_json(
+            reader,
+            read_options=paj.ReadOptions(use_threads=False, block_size=1 << 24),
+        )
 
-    def col(cname, default=None):
-        if cname in tbl.column_names:
-            return tbl[cname].to_pandas()
-        return pd.Series([default] * n)
+        def col(cname):
+            i = tbl.schema.get_field_index(cname)
+            return tbl.column(i).combine_chunks() if i >= 0 else None
 
-    out = pd.DataFrame(
-        {
-            "txid": col("txid").astype("int64"),
-            "seq": col("seq", 0).astype("int32"),
-            "commit_time_us": col("ct").astype("int64"),
-            "op": col("op"),
-            "table": col("table"),
-            "new_tuple": pd.Series(_struct_col_to_dicts(tbl, "new", n), dtype=object),
-            "old_tuple": pd.Series(_struct_col_to_dicts(tbl, "old", n), dtype=object),
-            "schema_change": pd.Series(
-                tbl["change"].to_pylist() if "change" in tbl.column_names else [None] * n,
-                dtype=object,
-            ),
-        }
-    )
-    return out
+        def scalar(cname, ptype, default=None):
+            c = col(cname)
+            if c is None:
+                return pa.nulls(n, ptype) if default is None else pa.array(
+                    [default] * n, ptype
+                )
+            return c.cast(ptype)
+
+        out = pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("lsn")),
+                scalar("txid", pa.int64()),
+                scalar("seq", pa.int32(), 0),
+                scalar("ct", pa.int64()),
+                scalar("op", pa.string()),
+                scalar("table", pa.string()),
+                _struct_to_map(col("new"), n),
+                _struct_to_map(col("old"), n),
+                _change_struct(col("change"), n),
+            ],
+            schema=_OUT_ARROW_SCHEMA,
+        )
+        yield out
 
 
 def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
     """(lsn, payload) -> (lsn, txid, seq, commit_time_us, op, table,
     new_tuple, old_tuple, schema_change)."""
     if mode == "arrow":
-        parsed = raw.select("lsn", _parse_payload_arrow("payload").alias("e"))
-    elif mode == "native":
-        parsed = raw.select(
-            "lsn",
-            F.from_json("payload", _PAYLOAD_JSON_SCHEMA).alias("j"),
+        return raw.select("lsn", "payload").mapInArrow(
+            _parse_batches, schema=_OUT_SPARK_SCHEMA
+        )
+    if mode == "native":
+        return raw.select(
+            "lsn", F.from_json("payload", _PAYLOAD_JSON_SCHEMA).alias("j")
         ).select(
             "lsn",
-            F.struct(
-                F.col("j.txid").alias("txid"),
-                F.col("j.seq").alias("seq"),
-                F.col("j.ct").alias("commit_time_us"),
-                F.col("j.op").alias("op"),
-                F.col("j.table").alias("table"),
-                F.col("j.new").alias("new_tuple"),
-                F.col("j.old").alias("old_tuple"),
-                F.col("j.change").alias("schema_change"),
-            ).alias("e"),
+            F.col("j.txid").alias("txid"),
+            F.col("j.seq").alias("seq"),
+            F.col("j.ct").alias("commit_time_us"),
+            F.col("j.op").alias("op"),
+            F.col("j.table").alias("table"),
+            F.col("j.new").alias("new_tuple"),
+            F.col("j.old").alias("old_tuple"),
+            F.col("j.change").alias("schema_change"),
         )
-    else:
-        raise ValueError(f"unknown parse mode {mode!r}")
-    return parsed.select("lsn", "e.*")
+    raise ValueError(f"unknown parse mode {mode!r}")

@@ -379,3 +379,24 @@ def generate_log(out_path: str, **kwargs) -> dict:
     if sc is not None:
         params.schema_changes = sc
     return WalLogGenerator(params).write(out_path)
+
+
+def split_log_dir(log_path: str, out_dir: str, n_files: int) -> list[str]:
+    """Split a captured log into ~n_files Parquet files cut at transaction
+    boundaries (no txn straddles a file) — the shape a WAL-archiver sink
+    produces and the constraint streaming/stream_replay.py documents."""
+    table = pq.read_table(log_path)
+    ops = np.asarray(table["op"].to_pylist())
+    begins = np.nonzero(ops == OP_BEGIN)[0]
+    begins = begins[begins > 0]
+    want = max(1, n_files)
+    step = max(1, len(begins) // want)
+    cuts = [0, *[int(b) for b in begins[step::step]], table.num_rows]
+    cuts = sorted(set(cuts))
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for k, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        pth = os.path.join(out_dir, f"log-{k:05d}.parquet")
+        pq.write_table(table.slice(lo, hi - lo), pth)
+        paths.append(pth)
+    return paths

@@ -13,6 +13,10 @@ The distributed re-expression of the reference's whole pipeline
 with per-batch atomic snapshot commits carrying the applied-LSN watermark
 (exactly-once + resume) and schema-evolution batches applied to metadata
 before their following data (transactional evolution).
+
+``apply_plans`` is the shared core: the batch entry point (``replay``) feeds
+it lsn-pruned Parquet scans; the Structured-Streaming entry point
+(streaming/stream_replay.py) feeds it each micro-batch DataFrame.
 """
 
 from __future__ import annotations
@@ -20,8 +24,9 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections.abc import Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.assembly import committed_data_events
 from ..operators.compaction import last_writer_wins
@@ -31,7 +36,85 @@ from ..schema import REPOS_INITIAL_SCHEMA, REPOS_PK, TableSchema
 from ..sources.parse import parse_events
 from ..sources.wal_log import read_wal_log
 from ..table.format import LakeTable
-from .batches import plan_batches
+from .batches import BatchPlan, plan_batches
+
+
+def ensure_table(
+    table_path: str,
+    initial_schema: TableSchema | None = None,
+    pk: tuple[str, ...] = REPOS_PK,
+    n_buckets: int = 64,
+) -> LakeTable:
+    hint = os.path.join(table_path, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        return LakeTable.create(
+            table_path, initial_schema or REPOS_INITIAL_SCHEMA, pk=pk, n_buckets=n_buckets
+        )
+    return LakeTable.load(table_path)
+
+
+def apply_plans(
+    spark: SparkSession,
+    table: LakeTable,
+    plans: list[BatchPlan],
+    raw_provider: Callable[[int | None, int | None], DataFrame],
+    *,
+    parse_mode: str = "arrow",
+    salt_buckets: int | None = None,
+    stop_after_batches: int | None = None,
+    batch_id_offset: int = 0,
+) -> list[dict]:
+    """Apply planned batches in order; skip already-applied LSN ranges."""
+    pk = table.pk
+    applied = table.applied_upto_lsn
+    batch_metrics: list[dict] = []
+    n_done = 0
+    for i, b in enumerate(plans):
+        if b.lsn_to <= applied:
+            continue  # checkpointed: already applied (idempotent replay)
+        if stop_after_batches is not None and n_done >= stop_after_batches:
+            break
+        if b.kind == "schema":
+            kind, column, type_name = b.change
+            table.evolve_schema(kind, column, type_name, applied_upto_lsn=b.lsn_to)
+            batch_metrics.append(
+                {"batch": i, "kind": "schema", "change": list(b.change), "upto": b.lsn_to}
+            )
+            n_done += 1
+            continue
+
+        tb0 = time.time()
+        raw = raw_provider(b.lsn_from, b.lsn_to)
+        # persist the parsed batch: both the commit-marker side and the data
+        # side of transaction assembly read it, and a batch is bounded by
+        # construction — one parse pass per batch, bounded cache footprint
+        parsed = parse_events(raw, mode=parse_mode).persist()
+        data = committed_data_events(parsed)
+        schema = table.schema  # current-at-epoch schema
+        changes = typed_changes(data, schema, pk=pk)
+        compacted = last_writer_wins(changes, pk=pk, salt_buckets=salt_buckets)
+        m = merge_into(
+            spark,
+            table,
+            compacted,
+            applied_upto_lsn=b.lsn_to,
+            batch_id=batch_id_offset + i,
+            extra_metrics={"lsn_from": b.lsn_from, "lsn_to": b.lsn_to,
+                           "parse_mode": parse_mode},
+        )
+        parsed.unpersist()
+        batch_metrics.append(
+            {
+                "batch": i,
+                "kind": "data",
+                "lsn_range": [b.lsn_from, b.lsn_to],
+                "rows_written": m["rows_written"],
+                "buckets": m["buckets"],
+                "secs": round(time.time() - tb0, 3),
+            }
+        )
+        n_done += 1
+    return batch_metrics
 
 
 def replay(
@@ -49,85 +132,41 @@ def replay(
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
 ) -> dict:
-    """Replay the log into the table; returns run metrics.
+    """Replay a captured log into the table; returns run metrics.
 
-    ``resume=True`` continues from the table's checkpointed
-    ``applied_upto_lsn`` — already-applied batches are skipped entirely
-    (their lsn range is pruned at the Parquet scan), so a re-run after a
-    crash converges to the same final state (exactly-once, SURVEY §2.9 T4).
+    Already-applied LSN ranges are always skipped (the snapshot watermark is
+    the mechanism; ``resume=True`` just documents intent), so a re-run after
+    a crash converges to the same final state — exactly-once (SURVEY §2.9 T4).
     """
     t0 = time.time()
-    if create and not os.path.exists(os.path.join(table_path, "metadata", "version-hint.text")):
-        table = LakeTable.create(
-            table_path, initial_schema or REPOS_INITIAL_SCHEMA, pk=pk, n_buckets=n_buckets
-        )
-    else:
-        table = LakeTable.load(table_path)
+    from ..dist import ship_package
+
+    ship_package(spark)  # executor workers import this package inside UDFs
+    table = ensure_table(table_path, initial_schema, pk, n_buckets) if create \
+        else LakeTable.load(table_path)
 
     raw_all = read_wal_log(spark, log_path)
     plans = plan_batches(raw_all, target_data_batches=n_data_batches, parse_mode="native")
 
-    # already-applied LSN ranges are always skipped — replay is idempotent
-    # whether or not the caller passed resume=True (the flag is documentation
-    # of intent; the watermark is the mechanism)
-    applied = table.applied_upto_lsn
-    batch_metrics: list[dict] = []
-    n_done = 0
-    for i, b in enumerate(plans):
-        if b.lsn_to <= applied:
-            continue  # checkpointed: already applied
-        if stop_after_batches is not None and n_done >= stop_after_batches:
-            break
-        if b.kind == "schema":
-            kind, column, type_name = b.change
-            table.evolve_schema(kind, column, type_name, applied_upto_lsn=b.lsn_to)
-            batch_metrics.append(
-                {"batch": i, "kind": "schema", "change": list(b.change), "upto": b.lsn_to}
-            )
-            n_done += 1
-            continue
-
-        tb0 = time.time()
-        raw = read_wal_log(spark, log_path, lsn_from=b.lsn_from, lsn_to=b.lsn_to)
-        # persist the parsed batch: both the commit-marker side and the data
-        # side of transaction assembly read it, and a batch is bounded by
-        # construction — this is one parse pass per batch instead of two,
-        # and it stays bounded at any log size (cache scope = one batch)
-        parsed = parse_events(raw, mode=parse_mode).persist()
-        data = committed_data_events(parsed)
-        schema = table.schema  # current-at-epoch schema
-        changes = typed_changes(data, schema, pk=pk)
-        compacted = last_writer_wins(changes, pk=pk, salt_buckets=salt_buckets)
-        m = merge_into(
-            spark,
-            table,
-            compacted,
-            applied_upto_lsn=b.lsn_to,
-            batch_id=i,
-            extra_metrics={"lsn_from": b.lsn_from, "lsn_to": b.lsn_to,
-                           "parse_mode": parse_mode},
-        )
-        parsed.unpersist()
-        batch_metrics.append(
-            {
-                "batch": i,
-                "kind": "data",
-                "lsn_range": [b.lsn_from, b.lsn_to],
-                "rows_written": m["rows_written"],
-                "buckets": m["buckets"],
-                "secs": round(time.time() - tb0, 3),
-            }
-        )
-        n_done += 1
+    metrics = apply_plans(
+        spark,
+        table,
+        plans,
+        lambda lo, hi: read_wal_log(spark, log_path, lsn_from=lo, lsn_to=hi),
+        parse_mode=parse_mode,
+        salt_buckets=salt_buckets,
+        stop_after_batches=stop_after_batches,
+    )
 
     wall = time.time() - t0
+    final = LakeTable.load(table.path)
     run = {
         "batches_planned": len(plans),
-        "batches_applied": n_done,
-        "table_version": LakeTable.load(table.path).version,
-        "applied_upto_lsn": LakeTable.load(table.path).applied_upto_lsn,
+        "batches_applied": len(metrics),
+        "table_version": final.version,
+        "applied_upto_lsn": final.applied_upto_lsn,
         "wall_secs": round(wall, 3),
-        "batches": batch_metrics,
+        "batches": metrics,
     }
     # per-run metrics log (lineage/observability, north_rule)
     mdir = os.path.join(table_path, "_metrics")

@@ -1,0 +1,67 @@
+"""Property tests: the final state is invariant under execution choices.
+
+The reference's invariant is "CDC replay converges to source state" under a
+randomized workload (/root/reference/src/types/mod.rs:178-327).  Here the
+engine adds distribution knobs that must NEVER change the answer: parse mode,
+batch cut count, salt bucket count, hash-bucket count, input partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logicaldecoding_spark.generator import default_evolution, generate_log
+from logicaldecoding_spark.oracle import replay_oracle
+from logicaldecoding_spark.plans.replay import replay
+
+from .util import assert_converged
+
+
+@pytest.fixture(scope="module")
+def prop_log(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("prop") / "wal.parquet")
+    stats = generate_log(path, n_txns=120, n_repos=8, paths_per_repo=5,
+                         schema_changes=default_evolution(120))
+    oracle_state, _ = replay_oracle(path)
+    return path, stats, oracle_state
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_batches=st.integers(min_value=1, max_value=5),
+    salt=st.sampled_from([None, 2, 7]),
+    n_buckets=st.sampled_from([1, 4, 16]),
+    parse_mode=st.sampled_from(["arrow", "native"]),
+)
+def test_final_state_invariant_under_execution_choices(
+    spark, prop_log, tmp_path_factory, n_batches, salt, n_buckets, parse_mode
+):
+    path, _, oracle_state = prop_log
+    table_path = str(
+        tmp_path_factory.mktemp("t")
+        / f"t{n_batches}_{salt}_{n_buckets}_{parse_mode}"
+    )
+    replay(
+        spark, path, table_path,
+        parse_mode=parse_mode, n_buckets=n_buckets,
+        n_data_batches=n_batches, salt_buckets=salt,
+    )
+    assert_converged(spark, table_path, oracle_state)
+
+
+def test_seed_determinism(tmp_path):
+    """Same (seed, params) -> byte-identical logs; different seed -> different."""
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    c = str(tmp_path / "c.parquet")
+    generate_log(a, n_txns=50, n_repos=5, paths_per_repo=4)
+    generate_log(b, n_txns=50, n_repos=5, paths_per_repo=4)
+    generate_log(c, n_txns=50, n_repos=5, paths_per_repo=4, seed=7)
+    import pyarrow.parquet as pq
+
+    ta, tb, tc = (pq.read_table(p) for p in (a, b, c))
+    assert ta.equals(tb)
+    assert not ta.equals(tc)

@@ -77,7 +77,13 @@ def submit(cores: int, log: str, events: int, warm_log: str, run_id: str) -> dic
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     m = re.search(r"RESULT (\{.*\})", out.stdout)
     if not m:
-        raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-2000:]}")
+        with open(f"/tmp/submit_fail_{cores}_{run_id}.out", "w") as f:
+            f.write(out.stdout)
+        with open(f"/tmp/submit_fail_{cores}_{run_id}.err", "w") as f:
+            f.write(out.stderr)
+        raise RuntimeError(
+            f"no RESULT (rc={out.returncode}); logs at /tmp/submit_fail_{cores}_{run_id}.*"
+        )
     return json.loads(m.group(1))
 
 

@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,25 +52,34 @@ def merge_into(
     data_cols = [f.name for f in schema.fields if f.name not in pk]
     n_buckets = table.n_buckets
 
-    # persist: the compacted change-set (<= |keys| rows, orders of magnitude
-    # smaller than the event log) is consumed by two actions — the touched-
-    # bucket collect and the COW write.  Without this, the whole upstream
-    # parse/semi-join/compaction pipeline would execute twice.
-    changes = compacted.withColumn(
-        "_bucket", bucket_expr(n_buckets, tuple(pk))
-    ).persist()
+    # stage the compacted change-set (<= |keys| rows, orders of magnitude
+    # smaller than the event log) to disk, bucket-partitioned: ONE execution
+    # of the parse/semi-join/compaction pipeline serves the touched-bucket
+    # discovery (directory listing) AND the MERGE join (tiny staged scan),
+    # instead of running the whole upstream twice or pinning it in memory.
+    import shutil
+    import uuid as _uuid
 
-    # touched buckets: tiny driver-side list (<= n_buckets ints)
+    stage = os.path.join(table.path, f"_stage_changes-{_uuid.uuid4().hex[:12]}")
+    (
+        compacted.withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+    )
     touched = sorted(
-        r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+        int(e.split("=", 1)[1])
+        for e in os.listdir(stage)
+        if e.startswith("_bucket=")
     )
     if not touched:
-        changes.unpersist()
+        shutil.rmtree(stage, ignore_errors=True)
         table.commit_data([], set(), applied_upto_lsn, batch_id,
                           {"events": 0, "note": "empty batch",
                            **(extra_metrics or {})})
         return {"rows_written": 0, "buckets": 0, "secs": time.time() - t0}
 
+    changes = spark.read.option("basePath", stage).parquet(
+        *[os.path.join(stage, f"_bucket={b}") for b in touched]
+    )
     target = table.read(spark, buckets=touched)
 
     s = changes.alias("s")
@@ -104,7 +114,7 @@ def merge_into(
     )
 
     new_files = table.write_data_files(result, spark)
-    changes.unpersist()
+    shutil.rmtree(stage, ignore_errors=True)
     rows = sum(f["rows"] for f in new_files)
     metrics = {
         "events_compacted": None,  # caller may fill

@@ -315,7 +315,7 @@ class LakeTable:
             .parquet(stage)
         )
         schema_id = self.schema.schema_id
-        new_files: list[dict] = []
+        moved: list[tuple[str, int]] = []  # (dst_rel, bucket)
         for entry in sorted(os.listdir(stage)):
             if not entry.startswith("_bucket="):
                 continue
@@ -326,31 +326,37 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 dst_rel = os.path.join("data", str(bucket), f"{uuid.uuid4().hex}.parquet")
-                dst = os.path.join(self.path, dst_rel)
-                os.replace(os.path.join(bdir, fn), dst)
-                md = pq.ParquetFile(dst).metadata
-                max_lsn = None
-                try:
-                    idx = md.schema.to_arrow_schema().get_field_index("_last_lsn")
-                    stats = [
-                        md.row_group(i).column(idx).statistics
-                        for i in range(md.num_row_groups)
-                    ]
-                    vals = [s.max for s in stats if s is not None and s.has_min_max]
-                    if vals:
-                        max_lsn = max(vals)
-                except Exception:
-                    pass
-                new_files.append(
-                    {
-                        "path": dst_rel,
-                        "bucket": bucket,
-                        "schema_id": schema_id,
-                        "rows": md.num_rows,
-                        "max_lsn": max_lsn,
-                    }
-                )
-        # clean staging remnants
+                os.replace(os.path.join(bdir, fn), os.path.join(self.path, dst_rel))
+                moved.append((dst_rel, bucket))
+
+        def harvest(item: tuple[str, int]) -> dict:
+            dst_rel, bucket = item
+            md = pq.ParquetFile(os.path.join(self.path, dst_rel)).metadata
+            max_lsn = None
+            try:
+                idx = md.schema.to_arrow_schema().get_field_index("_last_lsn")
+                stats = [
+                    md.row_group(i).column(idx).statistics
+                    for i in range(md.num_row_groups)
+                ]
+                vals = [s.max for s in stats if s is not None and s.has_min_max]
+                if vals:
+                    max_lsn = max(vals)
+            except Exception:
+                pass
+            return {
+                "path": dst_rel,
+                "bucket": bucket,
+                "schema_id": schema_id,
+                "rows": md.num_rows,
+                "max_lsn": max_lsn,
+            }
+
+        # footer reads are tiny independent I/Os: do them concurrently
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            new_files = list(ex.map(harvest, moved))
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)

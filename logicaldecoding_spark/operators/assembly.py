@@ -35,17 +35,28 @@ def committed_data_events(parsed: DataFrame, raw: DataFrame | None = None,
     '"op":"C"' and are a tiny fraction of the log) instead of a second full
     JSON parse of every event — one string scan replaces one parse pass.
     """
+    data = parsed.filter(F.col("op").isin(*DATA_OPS))
     if raw is not None:
         from ..sources.parse import parse_events
 
-        commit_rows = raw.filter(F.col("payload").contains('"op":"C"'))
-        commits = (
-            parse_events(commit_rows, mode=parse_mode)
-            .filter(F.col("op") == OP_COMMIT)
+        # ONE extra raw scan finds all B/C markers; aborted txids = BEGINs
+        # with no COMMIT.  Aborted txns are a small, bounded fraction of a
+        # batch (rollback tail), so the anti-join BROADCASTS — the O(events)
+        # data side is filtered map-side with NO shuffle, vs a sort-merge
+        # semi-join shuffling every event on txid.
+        markers = parse_events(
+            raw.filter(
+                F.col("payload").contains('"op":"B"')
+                | F.col("payload").contains('"op":"C"')
+            ),
+            mode=parse_mode,
+        ).select("txid", "op")
+        aborted = (
+            markers.groupBy("txid")
+            .agg(F.max(F.col("op") == OP_COMMIT).alias("has_commit"))
+            .filter(~F.col("has_commit"))
             .select("txid")
-            .distinct()
         )
-    else:
-        commits = parsed.filter(F.col("op") == OP_COMMIT).select("txid").distinct()
-    data = parsed.filter(F.col("op").isin(*DATA_OPS))
+        return data.join(F.broadcast(aborted), "txid", "left_anti")
+    commits = parsed.filter(F.col("op") == OP_COMMIT).select("txid").distinct()
     return data.join(commits, "txid", "left_semi")

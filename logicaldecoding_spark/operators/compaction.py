@@ -59,3 +59,46 @@ def last_writer_wins(
     return (
         changes.groupBy(*pk).agg(F.max_by(event, key).alias("_e")).select(*pk, "_e.*")
     )
+
+
+def winner_lsns(
+    slim_changes: DataFrame,
+    pk: tuple[str, ...] = REPOS_PK,
+    order: tuple[str, ...] = ("lsn", "seq"),
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Phase 1 of slim compaction: the (unique) ``lsn`` of each key's winner.
+
+    Input needs only pk + order columns — with the ``native`` parse mode,
+    Catalyst prunes ``from_json`` down to exactly those fields, so this pass
+    scans payloads but shuffles ~40 bytes/event instead of full tuples."""
+    win = last_writer_wins(slim_changes, pk=pk, order=order, salt_buckets=salt_buckets)
+    return win.select("lsn")
+
+
+def last_writer_wins_slim(
+    raw: DataFrame,
+    slim_changes: DataFrame,
+    parse_mode: str = "arrow",
+    pk: tuple[str, ...] = REPOS_PK,
+    order: tuple[str, ...] = ("lsn", "seq"),
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Shuffle- and parse-minimal last-writer-wins.
+
+        pass 1: slim (pk, lsn, seq) aggregation -> winner lsns   (narrow shuffle)
+        pass 2: broadcast-semi-join winner lsns against the RAW scan — the
+                join key (lsn) needs no parsing, so only the O(keys) winning
+                payloads are ever parsed with full tuples, and the big side
+                is filtered map-side with no shuffle at all
+
+    vs the full path this cuts shuffled bytes ~10x AND full-tuple parse work
+    ~10x (compaction ratio).  The winner-lsn set is O(distinct keys per
+    batch); beyond broadcast viability (~10^8 keys/batch) fall back to
+    ``last_writer_wins`` or swap the broadcast for a bloom filter + exact
+    re-reduce."""
+    from ..sources.parse import parse_events
+
+    winners = winner_lsns(slim_changes, pk=pk, order=order, salt_buckets=salt_buckets)
+    winner_raw = raw.join(F.broadcast(winners), "lsn", "left_semi")
+    return parse_events(winner_raw, mode=parse_mode)

@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.assembly import committed_data_events
-from ..operators.compaction import last_writer_wins
+from ..operators.compaction import last_writer_wins, last_writer_wins_slim
 from ..operators.merge import merge_into
 from ..operators.typing import typed_changes
 from ..schema import REPOS_INITIAL_SCHEMA, REPOS_PK, TableSchema
@@ -61,10 +61,17 @@ def apply_plans(
     *,
     parse_mode: str = "arrow",
     salt_buckets: int | None = None,
+    compaction: str = "slim",
     stop_after_batches: int | None = None,
     batch_id_offset: int = 0,
 ) -> list[dict]:
-    """Apply planned batches in order; skip already-applied LSN ranges."""
+    """Apply planned batches in order; skip already-applied LSN ranges.
+
+    ``compaction='slim'`` (default, the scale path) finds per-key winner LSNs
+    with a column-pruned narrow pass and broadcast-semi-joins them back, so
+    full tuples are never shuffled; ``'full'`` shuffles every event's
+    after-image through one aggregation (simpler; use when the per-batch
+    distinct-key count is too large to broadcast)."""
     pk = table.pk
     applied = table.applied_upto_lsn
     batch_metrics: list[dict] = []
@@ -85,15 +92,31 @@ def apply_plans(
 
         tb0 = time.time()
         raw = raw_provider(b.lsn_from, b.lsn_to)
-        parsed = parse_events(raw, mode=parse_mode)
-        # commit markers come from a cheap substring prefilter over the raw
-        # scan + a parse of only those rows — measured faster AND
-        # better-scaling than caching the fully parsed batch (cache
-        # serialization of wide map rows is memory-bandwidth-bound)
-        data = committed_data_events(parsed, raw=raw, parse_mode=parse_mode)
         schema = table.schema  # current-at-epoch schema
-        changes = typed_changes(data, schema, pk=pk)
-        compacted = last_writer_wins(changes, pk=pk, salt_buckets=salt_buckets)
+        if compaction == "slim":
+            # narrow pass: native parse (Catalyst prunes from_json to
+            # pk+lsn+seq), committed filter, winner-lsn aggregation; then
+            # winner lsns broadcast-semi-join against the RAW scan and only
+            # the winning payloads get the full-tuple parse
+            slim_parsed = parse_events(raw, mode="native")
+            slim_data = committed_data_events(
+                slim_parsed, raw=raw, parse_mode="native"
+            )
+            slim = typed_changes(slim_data, schema, pk=pk).select(
+                *pk, "lsn", "seq"
+            )
+            winner_rows = last_writer_wins_slim(
+                raw, slim, parse_mode=parse_mode, pk=pk, salt_buckets=salt_buckets
+            )
+            compacted = typed_changes(winner_rows, schema, pk=pk)
+        else:
+            parsed = parse_events(raw, mode=parse_mode)
+            # commit markers from a cheap substring prefilter over the raw
+            # scan + a parse of only those rows — cheaper than a second full
+            # parse and than caching the parsed batch
+            data = committed_data_events(parsed, raw=raw, parse_mode=parse_mode)
+            changes = typed_changes(data, schema, pk=pk)
+            compacted = last_writer_wins(changes, pk=pk, salt_buckets=salt_buckets)
         m = merge_into(
             spark,
             table,
@@ -128,6 +151,7 @@ def replay(
     parse_mode: str = "arrow",
     n_data_batches: int = 1,
     salt_buckets: int | None = None,
+    compaction: str = "slim",
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
@@ -155,6 +179,7 @@ def replay(
         lambda lo, hi: read_wal_log(spark, log_path, lsn_from=lo, lsn_to=hi),
         parse_mode=parse_mode,
         salt_buckets=salt_buckets,
+        compaction=compaction,
         stop_after_batches=stop_after_batches,
     )
 

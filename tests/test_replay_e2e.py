@@ -28,6 +28,19 @@ def test_replay_converges_single_batch(spark, small_log, small_oracle, tmp_path,
     assert_converged(spark, table_path, oracle_state)
 
 
+def test_replay_converges_full_compaction(spark, small_log, small_oracle, tmp_path):
+    """The full-shuffle compaction path (fallback when per-batch key counts
+    exceed broadcast viability) must produce the identical state."""
+    log_path, _ = small_log
+    oracle_state, _ = small_oracle
+    table_path = str(tmp_path / "table_fullcomp")
+    replay(
+        spark, log_path, table_path, parse_mode="native", n_buckets=8,
+        compaction="full",
+    )
+    assert_converged(spark, table_path, oracle_state)
+
+
 def test_replay_converges_multi_batch(spark, small_log, small_oracle, tmp_path):
     log_path, stats = small_log
     oracle_state, _ = small_oracle

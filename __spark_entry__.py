@@ -121,6 +121,28 @@ def _q_s5_props_parse(spark, sf):  # S5/P3: vectorized payload parse + agg
     )
 
 
+def _q_a3_txn_count(spark, sf):  # A3: transaction counting metric
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def _q_set1_except(spark, sf):  # set op: the exceptAll convergence-check shape
+    ev = _t(spark, sf, "events")
+    a = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    b = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    return a.exceptAll(b).distinct()
+
+
 def _q_o1_global_order(spark, sf):  # O1: total order + limit
     ev = _t(spark, sf, "events")
     return (
@@ -306,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_last_writer_wins": _q_a2_last_writer_wins,
         "a2_salted_lww": _q_a2_salted_lww,
         "s5_props_parse": _q_s5_props_parse,
+        "a3_txn_count": _q_a3_txn_count,
+        "set1_except": _q_set1_except,
         "o1_global_order": _q_o1_global_order,
         "t9_window_tumbling": _q_t9_window_tumbling,
         "w1_topk_per_group": _q_w1_topk_per_group,
@@ -386,6 +410,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "a3_txn_count": """
+            SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types
+            FROM events
+        """,
+        "set1_except": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 95
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > 95
         """,
         "o1_global_order": """
             SELECT event_id, user_id, event_type FROM events

@@ -94,22 +94,42 @@ def apply_plans(
         raw = raw_provider(b.lsn_from, b.lsn_to)
         schema = table.schema  # current-at-epoch schema
         if compaction == "slim":
-            # narrow pass: native parse (Catalyst prunes from_json to
-            # pk+lsn+seq), committed filter, winner-lsn aggregation; then
-            # winner lsns broadcast-semi-join against the RAW scan and only
-            # the winning payloads get the full-tuple parse
-            slim_parsed = parse_events(raw, mode="native")
-            slim_data = committed_data_events(
-                slim_parsed, raw=raw, parse_mode="native"
+            # ONE narrow pass over the batch: native parse pruned to
+            # (lsn, txid, seq, op, pk), cached (~60B/row — unlike full
+            # after-images this is cheap to cache).  From it: aborted txids
+            # (BEGIN w/o COMMIT -> broadcast anti-join) and per-key winner
+            # lsns.  Winner lsns then broadcast-semi-join the RAW scan, so
+            # only the winning payloads get the full-tuple parse.
+            from pyspark.sql import functions as F
+
+            p = parse_events(raw, mode="native")
+            pk_cols = [
+                F.coalesce(
+                    F.try_element_at("new_tuple", F.lit(c)),
+                    F.try_element_at("old_tuple", F.lit(c)),
+                ).alias(c)
+                for c in pk
+            ]
+            slim_all = p.select("lsn", "txid", "seq", "op", *pk_cols).persist()
+            markers = slim_all.filter(F.col("op").isin("B", "C"))
+            aborted = (
+                markers.groupBy("txid")
+                .agg(F.max(F.col("op") == "C").alias("has_commit"))
+                .filter(~F.col("has_commit"))
+                .select("txid")
             )
-            slim = typed_changes(slim_data, schema, pk=pk).select(
-                *pk, "lsn", "seq"
+            slim_data = (
+                slim_all.filter(F.col("op").isin("I", "U", "D"))
+                .join(F.broadcast(aborted), "txid", "left_anti")
+                .select(*pk, "lsn", "seq")
             )
             winner_rows = last_writer_wins_slim(
-                raw, slim, parse_mode=parse_mode, pk=pk, salt_buckets=salt_buckets
+                raw, slim_data, parse_mode=parse_mode, pk=pk,
+                salt_buckets=salt_buckets,
             )
             compacted = typed_changes(winner_rows, schema, pk=pk)
         else:
+            slim_all = None
             parsed = parse_events(raw, mode=parse_mode)
             # commit markers from a cheap substring prefilter over the raw
             # scan + a parse of only those rows — cheaper than a second full
@@ -126,6 +146,8 @@ def apply_plans(
             extra_metrics={"lsn_from": b.lsn_from, "lsn_to": b.lsn_to,
                            "parse_mode": parse_mode},
         )
+        if slim_all is not None:
+            slim_all.unpersist()
         batch_metrics.append(
             {
                 "batch": i,

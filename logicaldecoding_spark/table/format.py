@@ -176,6 +176,36 @@ class LakeTable:
     def applied_upto_lsn(self) -> int:
         return self.metadata(refresh=False)["snapshot"]["applied_upto_lsn"]
 
+    def history(self) -> list[dict]:
+        """Snapshot lineage, oldest first: one entry per committed version
+        (the time-travel index; any vN.metadata.json remains readable)."""
+        out = []
+        v = 0
+        while os.path.exists(self._meta_path(v)):
+            with open(self._meta_path(v)) as f:
+                m = json.load(f)
+            s = m["snapshot"]
+            out.append(
+                {
+                    "version": m["version"],
+                    "schema_id": m["schema"]["schema_id"],
+                    "applied_upto_lsn": s["applied_upto_lsn"],
+                    "batch_id": s.get("batch_id"),
+                    "files": len(s.get("manifest", [])),
+                    "rows": sum(f.get("rows", 0) for f in s.get("manifest", [])),
+                    "timestamp_ms": s.get("timestamp_ms"),
+                    "metrics": s.get("metrics", {}),
+                }
+            )
+            v += 1
+        return out
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: scan the table as of an older snapshot."""
+        with open(self._meta_path(version)) as f:
+            meta = json.load(f)
+        return self.read(spark, _meta_override=meta)
+
     def schema_by_id(self, schema_id: int) -> TableSchema:
         for s in self.metadata(refresh=False)["schemas"]:
             if s["schema_id"] == schema_id:
@@ -187,6 +217,7 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         with_bucket_col: bool = False,
+        _meta_override: dict | None = None,
     ) -> DataFrame:
         """Current-snapshot scan, schema-reconciled to the current schema.
 
@@ -196,7 +227,7 @@ class LakeTable:
         column -> NULL, widened type -> upcast) — read-time evolution by
         field id, as the Iceberg spec prescribes.
         """
-        meta = self.metadata()
+        meta = _meta_override if _meta_override is not None else self.metadata()
         current = TableSchema.from_json(meta["schema"])
         manifest = meta["snapshot"]["manifest"]
         if buckets is not None:

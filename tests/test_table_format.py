@@ -80,6 +80,20 @@ def test_old_snapshot_survives_torn_commit(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["commit"] == "c1"
 
 
+def test_history_and_time_travel(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA, n_buckets=4)
+    merge_into(spark, t, _compacted(spark, [("r", "p", "c1", "py", "x", "I", 1, 0, 1)]),
+               applied_upto_lsn=1, batch_id=0)
+    merge_into(spark, t, _compacted(spark, [("r", "p", "c2", "py", "y", "U", 5, 0, 2)]),
+               applied_upto_lsn=5, batch_id=1)
+    h = t.history()
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert h[-1]["applied_upto_lsn"] == 5
+    old = t.read_version(spark, 1).collect()
+    new = t.read(spark).collect()
+    assert old[0]["commit"] == "c1" and new[0]["commit"] == "c2"
+
+
 def test_bucket_pruned_read_skips_files(spark, tmp_path):
     t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA, n_buckets=8)
     rows = [(f"r{i}", "p", "c", "py", "x", "I", i + 1, 0, 1) for i in range(40)]

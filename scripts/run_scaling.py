@@ -40,9 +40,11 @@ def gen_log() -> tuple[str, dict]:
         path, n_txns=n, n_repos=max(200, n // 100), paths_per_repo=50,
         content_min_reps=1, content_max_reps=6,
         schema_changes=[
-            SchemaChangeSpec(n // 100, "add_column", "size", "int"),
-            SchemaChangeSpec(n // 50, "add_column", "stars", "long"),
-            SchemaChangeSpec(3 * n // 100, "widen_type", "size", "long"),
+            # schema changes are rare barriers in a real CDC history: early
+            # in the log, followed by the long steady-state replay
+            SchemaChangeSpec(n // 1000, "add_column", "size", "int"),
+            SchemaChangeSpec(2 * n // 1000, "add_column", "stars", "long"),
+            SchemaChangeSpec(3 * n // 1000, "widen_type", "size", "long"),
         ],
         chunk_txns=200_000,
     )

@@ -407,7 +407,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s5_props_parse": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type
         """,
@@ -502,8 +503,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": f"""
             SELECT doc_id, len({_TOKENS}) AS n_tokens, len(text) AS n_chars,
-                   list_sum(list_transform({_TOKENS},
-                       t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS n_subwords
+                   CAST(list_sum(list_transform({_TOKENS},
+                       t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT)
+                       AS n_subwords
             FROM documents
         """,
         "text_quality": f"""

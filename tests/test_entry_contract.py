@@ -33,13 +33,25 @@ def ddb():
 
 
 def _norm_cell(v):
-    if v is None:
+    """Type-sensitive normalization replicating the driver's value hash.
+
+    The driver compares pandas frames type-sensitively: DuckDB HUGEINT
+    (e.g. sum(BIGINT) / list_sum) lands in pandas as float/object while
+    Spark bigint lands as int — those must NOT compare equal here, or a
+    locally-green query ships driver-red (that's how round 1's two red
+    rows escaped; see ADVICE.md)."""
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(v, (list, tuple, np.ndarray)) and pd.isna(v):
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6f}"
-    return str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{v}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"float:{float(v):.6f}"
+    return f"{type(v).__name__}:{v}"
 
 
 def _norm_rows(cols, rows):
@@ -64,20 +76,19 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
-    srows = sdf.collect()
-    scols = sdf.columns
+    spdf = sdf.toPandas()  # pandas path: same dtype coercion the driver sees
+    scols = list(spdf.columns)
     if name not in ORACLES:
         # rows-only check (non-SQL-expressible op): must run and be non-trivial
-        assert len(srows) > 0, f"{name}: empty result"
+        assert len(spdf) > 0, f"{name}: empty result"
         return
-    res = ddb.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dpdf = ddb.execute(ORACLES[name]).fetchdf()
+    dcols = list(dpdf.columns)
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
-    assert len(srows) == len(drows), (
-        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    assert len(spdf) == len(dpdf), (
+        f"{name}: row count {len(spdf)} vs oracle {len(dpdf)}"
     )
-    a = _norm_rows(scols, [[r[c] for c in scols] for r in srows])
-    b = _norm_rows(dcols, drows)
+    a = _norm_rows(scols, spdf.itertuples(index=False, name=None))
+    b = _norm_rows(dcols, dpdf.itertuples(index=False, name=None))
     mismatches = [(x, y) for x, y in zip(a, b) if x != y][:5]
     assert a == b, f"{name}: value mismatch, first diffs: {mismatches}"

@@ -262,9 +262,14 @@ def _q_dedup_simhash(spark, sf):  # rows-only check
 
 
 def _q_dedup_embedding(spark, sf):
-    from logicaldecoding_spark.operators.dedup import embedding_neardup_pairs
+    # production path: LSH-bucketed candidates + exact verify (no all-pairs
+    # join in the plan); value-equal to the quadratic oracle at test SFs,
+    # enforced by the recall gate in tests/test_recall_gates.py.
+    from logicaldecoding_spark.operators.dedup import embedding_neardup_pairs_lsh
 
-    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4)
+    return embedding_neardup_pairs_lsh(
+        _t(spark, sf, "embeddings"), dim=64, threshold=0.4
+    )
 
 
 def _q_text_token_stats(spark, sf):
@@ -299,12 +304,15 @@ def _q_knn_bruteforce(spark, sf):
     return knn_bruteforce(emb, queries, k=10)
 
 
-def _q_knn_lsh(spark, sf):  # rows-only check (numpy hyperplanes)
+def _q_knn_lsh(spark, sf):  # recall-gated vs knn_bruteforce (test_recall_gates)
     from logicaldecoding_spark.operators.similarity import knn_lsh
 
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return knn_lsh(emb, queries, dim=64, k=10)
+    # few coarse planes + many tables: this corpus's neighbors sit at
+    # cos ~0.4-0.6, where fine buckets would destroy recall; at a real
+    # near-dup corpus (cos >= 0.9) raise n_planes and cut n_tables.
+    return knn_lsh(emb, queries, dim=64, k=10, n_planes=4, n_tables=64)
 
 
 def _q_mm_binary_meta(spark, sf):

@@ -4,16 +4,22 @@ embedding near-dup.
 Scale design (the point of running these on Spark):
 * exact dedup        — one hash-aggregation; map-side combine, no data motion
                        beyond the hash shuffle.
-* MinHash + LSH      — explode shingles once, compute all K minhashes in a
-                       single aggregation pass, then band-bucket self-join:
+* MinHash + LSH      — signatures are ROW-LOCAL (higher-order functions over
+                       the shingle array: one xxhash64 pass, then K
+                       transform+array_min projections — all inside
+                       whole-stage codegen, ZERO shuffle); the only shuffle
+                       in the pipeline is the band-bucket self-join, so
                        candidate generation never compares all pairs
                        (O(n^2) -> O(sum of bucket^2), the standard LSH bound).
-* SimHash            — vectorized pandas_udf (numpy bit-twiddling per Arrow
-                       batch); near-dup = identical 64-bit signature or small
-                       Hamming distance within LSH bands of the signature.
+* SimHash            — token hashes computed JVM-side (xxhash64 inside
+                       transform); the 64-bit majority-vote signature is one
+                       loop-free numpy pass per Arrow batch (explode +
+                       add.reduceat segment sums — no per-row Python).
 * n-gram Jaccard     — exact verification on candidate pairs only.
-* embedding near-dup — cosine over candidate buckets (see similarity.py for
-                       the ANN machinery).
+* embedding near-dup — multi-table hyperplane-LSH candidates (one matmul per
+                       Arrow batch computes ALL tables' buckets), exact
+                       cosine verify on candidates only; the all-pairs form
+                       survives solely as the small-input oracle baseline.
 """
 
 from __future__ import annotations
@@ -63,23 +69,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """K-permutation MinHash signatures over character-shingle sets.
 
-    One explode + one aggregation computes all K minima simultaneously
-    (h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle values) — a single
-    shuffle keyed by doc id, independent of K."""
+    Row-local formulation: MinHash is a per-document reduction, so no data
+    motion is needed at all.  The shingle array is hashed once
+    (x = |xxhash64(s)| mod p, a higher-order transform), then each of the K
+    permutations is array_min(transform(xs, x -> (a_i*x + b_i) mod p)) — a
+    pure projection that stays inside whole-stage codegen.  At 100 TB this
+    is a map-only stage; the earlier explode+groupBy version shuffled the
+    entire exploded shingle set (|corpus| * ~|doc| rows) for no reason."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
 
-    sh = docs.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).withColumn("x", F.abs(F.xxhash64("sh")) % F.lit(_MERSENNE))
-
-    aggs = [
-        F.min((F.lit(int(a[i])) * F.col("x") + F.lit(int(b[i]))) % F.lit(_MERSENNE))
-        .alias(f"mh{i}")
+    xs = F.transform(
+        char_shingles(F.col(text_col), shingle_k),
+        lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("_xs"),
+                lambda x: (F.lit(int(a[i])) * x + F.lit(int(b[i]))) % F.lit(_MERSENNE),
+            )
+        ).alias(f"mh{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return docs.select(F.col(id_col), xs.alias("_xs")).select(id_col, *mins)
 
 
 def lsh_candidate_pairs(
@@ -201,51 +215,41 @@ def ngram_jaccard_all_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (vectorized pandas UDF: numpy bit ops per Arrow batch)
+# SimHash (token hashes JVM-side; signature = one loop-free numpy pass)
 # ---------------------------------------------------------------------------
 @F.pandas_udf(T.LongType())
-def _simhash64(token_arrays: pd.Series) -> pd.Series:
-    """64-bit SimHash of a token list: sign of per-bit weighted sums of
-    token hashes.  Token hash = splitmix64 of a stable string hash."""
-    out = np.empty(len(token_arrays), dtype=np.int64)
-    for i, toks in enumerate(token_arrays):
-        if toks is None or len(toks) == 0:
-            out[i] = 0
-            continue
-        hs = np.array(
-            [np.uint64(hash_str64(t)) for t in toks], dtype=np.uint64
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
-        )
-        sums = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for bpos in np.nonzero(sums > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(sig)
+def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-document arrays of 64-bit token hashes.
+
+    Fully batch-vectorized: pandas explode flattens every document's hashes
+    into one contiguous array, a single (total_tokens, 64) bit expansion
+    counts set bits, and np.add.reduceat computes the per-document segment
+    sums — no Python executes per row or per token (the token hashing itself
+    happened JVM-side via xxhash64 inside a higher-order transform)."""
+    lens = hash_arrays.str.len().fillna(0).astype(np.int64).to_numpy()
+    out = np.zeros(len(hash_arrays), dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        flat = (
+            hash_arrays.explode().dropna().to_numpy().astype(np.int64)
+        ).view(np.uint64)
+        offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+        half = lens[nz]  # majority vote: bit set iff 2*#ones > len
+        sigs = np.zeros(int(nz.sum()), dtype=np.uint64)
+        for b in range(64):  # constant 64 bit-planes, not per-row
+            ones = np.add.reduceat(
+                (flat >> np.uint64(b)) & np.uint64(1), offs
+            ).astype(np.int64)
+            sigs |= ((2 * ones > half).astype(np.uint64)) << np.uint64(b)
+        out[np.nonzero(nz)[0]] = sigs.view(np.int64)
     return pd.Series(out)
-
-
-def hash_str64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a + splitmix finalizer) —
-    stable across processes (unlike Python's seeded hash())."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    # splitmix64 finalize
-    h ^= h >> 30
-    h = (h * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    h ^= h >> 27
-    h = (h * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    h ^= h >> 31
-    return h
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             ) -> DataFrame:
+    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     return docs.select(
-        F.col(id_col), _simhash64(tokens(F.col(text_col))).alias("simhash")
+        F.col(id_col), _simhash_from_hashes(token_hashes).alias("simhash")
     )
 
 
@@ -302,12 +306,62 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates (all-pairs form; for corpus scale,
-    route candidates through similarity.lsh_buckets first)."""
+    """Embedding-cosine near-duplicates, ALL-PAIRS form.
+
+    This is the quadratic oracle baseline only — tests use it to recall-gate
+    the LSH-routed production path (embedding_neardup_pairs_lsh below).  Do
+    not run it on anything larger than a test slice."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH candidates + exact verify.
+
+    Candidates = pairs sharing a (table, bucket) in ANY of n_tables
+    hyperplane tables (all tables computed by ONE matmul scan); exact cosine
+    runs on candidates only, so the join is bucket-partitioned, never
+    all-pairs.  Knobs trade recall vs bucket size: low thresholds need few
+    planes (coarse buckets) and many tables; high thresholds (the real
+    near-dup regime, >=0.9) allow many planes, keeping buckets tiny at
+    corpus scale.  Recall is gated in tests against the all-pairs baseline
+    at sf0.001/sf0.01 (seeded, deterministic)."""
+    from .similarity import lsh_buckets
+
+    b = lsh_buckets(emb, dim, n_planes, n_tables, seed, vec_col, id_col)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")

@@ -53,18 +53,25 @@ def knn_bruteforce(
     )
 
 
-def _hyperplane_udf(planes: np.ndarray):
-    """Build a pandas UDF computing sign-bit bucket ids for one LSH table."""
-    p = planes  # (n_planes, dim) — captured, shipped once per task
+def _multi_table_bucket_udf(planes: np.ndarray, n_tables: int, n_planes: int):
+    """Pandas UDF computing ALL tables' sign-bit bucket ids in one matmul.
 
-    @F.pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim) — one matmul per batch
-        bits = (m @ p.T) > 0  # (batch, n_planes)
-        weights = (1 << np.arange(p.shape[0], dtype=np.int64))
-        return pd.Series((bits @ weights).astype(np.int64))
+    planes is (n_tables*n_planes, dim); the result column is an
+    array<long> of n_tables bucket ids per vector.  One Arrow batch = one
+    (batch, dim) @ (dim, T*p) matmul — the per-table-UDF-pass formulation
+    this replaces scanned the corpus n_tables times."""
+    p = planes
 
-    return bucket
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ p.T) > 0  # (batch, T*p)
+        bits = bits.reshape(len(m), n_tables, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        ids = (bits @ weights).astype(np.int64)  # (batch, T)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_buckets(
@@ -76,18 +83,14 @@ def lsh_buckets(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Random-hyperplane LSH: (id, table, bucket) — one row per table."""
+    """Random-hyperplane LSH: (id, table, bucket) — one row per table,
+    produced by a single corpus scan (one multi-table UDF + posexplode)."""
     rng = np.random.default_rng(seed)
-    out = None
-    for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        b = emb.select(
-            F.col(id_col),
-            F.lit(t).alias("table"),
-            _hyperplane_udf(planes)(F.col(vec_col)).alias("bucket"),
-        )
-        out = b if out is None else out.unionByName(b)
-    return out
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    udf = _multi_table_bucket_udf(planes, n_tables, n_planes)
+    return emb.select(F.col(id_col), udf(F.col(vec_col)).alias("_bs")).select(
+        id_col, F.posexplode("_bs").alias("table", "bucket")
+    )
 
 
 def knn_lsh(

@@ -40,3 +40,51 @@ def test_no_rdd_operators():
 def test_no_driver_side_data_loops():
     bad = [p for p, src in _sources() if COLLECT_LOOP.search(src)]
     assert not bad, f"driver-side collect loops found in: {bad}"
+
+
+# Round-1 gap: `@F.pandas_udf` bodies passed the lint while iterating the
+# Series row-by-row in Python (`for i, toks in enumerate(token_arrays)`),
+# which is exactly the per-row path the input_hint bans — the Arrow batch
+# boundary doesn't make the inner loop vectorized.  Flag the common per-row
+# idioms inside any function decorated as a pandas UDF.
+PER_ROW_IDIOMS = [
+    re.compile(r"for\s+\w+(?:\s*,\s*\w+)?\s+in\s+enumerate\("),
+    re.compile(r"\.iterrows\(\)"),
+    re.compile(r"\.itertuples\("),
+    re.compile(r"\.apply\(\s*lambda"),
+    re.compile(r"for\s+\w+\s+in\s+zip\("),
+]
+
+
+def _pandas_udf_bodies(src: str):
+    """Yield the source block of each pandas_udf-decorated function."""
+    lines = src.split("\n")
+    i = 0
+    while i < len(lines):
+        if "pandas_udf" in lines[i] and lines[i].lstrip().startswith("@"):
+            indent = len(lines[i]) - len(lines[i].lstrip())
+            j = i + 1
+            while j < len(lines) and not lines[j].lstrip().startswith("def "):
+                j += 1
+            body = [lines[j]] if j < len(lines) else []
+            j += 1
+            while j < len(lines):
+                s = lines[j]
+                if s.strip() and (len(s) - len(s.lstrip())) <= indent:
+                    break
+                body.append(s)
+                j += 1
+            yield "\n".join(body)
+            i = j
+        else:
+            i += 1
+
+
+def test_no_per_row_loops_in_vectorized_udfs():
+    bad = []
+    for p, src in _sources():
+        for body in _pandas_udf_bodies(src):
+            for idiom in PER_ROW_IDIOMS:
+                if idiom.search(body):
+                    bad.append((p, idiom.pattern))
+    assert not bad, f"per-row Python inside pandas UDF bodies: {bad}"

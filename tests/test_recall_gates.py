@@ -1,0 +1,144 @@
+"""Recall gates for the hash-based (no-SQL-oracle) operators.
+
+The reference's own verification method is convergence against an
+independent oracle (reference src/types/mod.rs:323-324).  MinHash-LSH,
+SimHash, and hyperplane-LSH ANN cannot carry a DuckDB oracle (they depend on
+xxhash64 / seeded numpy hyperplanes), so each is gated here against the
+exact in-repo baseline it approximates:
+
+* minhash_dedup_pairs  vs  ngram_jaccard_all_pairs   (pair recall >= 0.9,
+  precision exactly 1.0 — candidates are exact-verified)
+* simhash              vs  a per-row Python reference of the same function,
+  plus a must-find-exact-copies gate
+* knn_lsh              vs  knn_bruteforce            (recall@10 >= 0.9)
+* embedding_neardup_pairs_lsh  vs  the all-pairs baseline (EXACT set
+  equality at test SFs — this is the value the driver's SQL oracle checks)
+
+All seeds are fixed; results are deterministic, so green here means green
+forever (no flaky-probability reruns).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_pair_recall(docs):
+    from logicaldecoding_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        ngram_jaccard_all_pairs,
+    )
+
+    sl = docs.filter(F.col("doc_id") < 200)
+    exact = _pair_set(ngram_jaccard_all_pairs(sl, threshold=0.6, shingle_k=5))
+    got = _pair_set(minhash_dedup_pairs(sl, threshold=0.6, shingle_k=5))
+    assert exact, "baseline found no pairs — gate is vacuous"
+    # precision is exact by construction (candidates are jaccard-verified)
+    assert got <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"MinHash-LSH pair recall {recall:.3f} < 0.9"
+
+
+def test_simhash_vectorized_matches_reference(spark, docs):
+    """The loop-free numpy SimHash must equal a straightforward per-row
+    Python evaluation of the same definition (majority vote over xxhash64
+    token-hash bits)."""
+    from logicaldecoding_spark.functions.text import tokens
+    from logicaldecoding_spark.operators.dedup import simhash
+
+    sample = docs.filter(F.col("doc_id") < 40)
+    hashed = sample.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("hs"),
+    ).collect()
+
+    def ref(hs):
+        if not hs:
+            return 0
+        u = [h & 0xFFFFFFFFFFFFFFFF for h in hs]
+        sig = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in u)
+            if 2 * ones > len(u):
+                sig |= 1 << b
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    expected = {r["doc_id"]: ref(r["hs"]) for r in hashed}
+    got = {r["doc_id"]: r["simhash"] for r in simhash(sample).collect()}
+    assert got == expected
+
+
+def test_simhash_detects_exact_copies(docs):
+    from logicaldecoding_spark.operators.dedup import simhash_dup_pairs
+
+    base = docs.filter(F.col("doc_id") < 50)
+    copies = base.withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    pairs = simhash_dup_pairs(base.unionByName(copies), max_hamming=8)
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs.filter(F.col("hamming") == 0).collect()
+    }
+    want = {(i, i + 10_000) for i in range(50)}
+    assert want <= found, f"missing exact-copy pairs: {sorted(want - found)[:5]}"
+
+
+def test_knn_lsh_recall_at_10(emb):
+    from logicaldecoding_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(emb, queries, dim=64, k=10,
+                         n_planes=4, n_tables=64).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"knn_lsh recall@10 {recall:.3f} < 0.9"
+
+
+def test_embedding_lsh_equals_allpairs(emb):
+    """The LSH-routed near-dup path must reproduce the all-pairs result
+    EXACTLY at test SFs (this is what keeps the driver's SQL oracle green
+    for dedup_embedding), and its plan must contain no cartesian join."""
+    from logicaldecoding_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+
+    allp = embedding_neardup_pairs(emb, threshold=0.4)
+    lsh = embedding_neardup_pairs_lsh(emb, dim=64, threshold=0.4)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    a = {(r["id_a"], r["id_b"], r["cos"]) for r in allp.collect()}
+    b = {(r["id_a"], r["id_b"], r["cos"]) for r in lsh.collect()}
+    assert a, "all-pairs baseline found no pairs — gate is vacuous"
+    assert a == b, (
+        f"LSH missed {len(a - b)} pairs / invented {len(b - a)}; "
+        f"first: {sorted(a ^ b)[:5]}"
+    )

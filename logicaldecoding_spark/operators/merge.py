@@ -17,6 +17,12 @@ replay (SURVEY §2.9 T4): re-applying an already-applied batch compares
 snapshot offsets make it a no-op before even reaching here.
 
 Scale notes:
+* the change-set is materialized ONCE via a spill-safe persist
+  (MEMORY_AND_DISK): the same execution serves touched-bucket discovery
+  (a tiny distinct over the bucket column) and the MERGE join.  The earlier
+  design staged it to a driver-listed parquet directory — an extra full
+  write+read round plus driver filesystem work per batch, i.e. serial time
+  that didn't shrink with cores and local-FS coupling the FileIO seam bans;
 * the join is keyed on the primary key; both sides are unique per key
   (target by construction, source post-compaction), so no key explosion and
   no join skew beyond hashing — AQE handles residual imbalance;
@@ -27,9 +33,9 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
 import time
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,69 +58,57 @@ def merge_into(
     data_cols = [f.name for f in schema.fields if f.name not in pk]
     n_buckets = table.n_buckets
 
-    # stage the compacted change-set (<= |keys| rows, orders of magnitude
-    # smaller than the event log) to disk, bucket-partitioned: ONE execution
-    # of the parse/semi-join/compaction pipeline serves the touched-bucket
-    # discovery (directory listing) AND the MERGE join (tiny staged scan),
-    # instead of running the whole upstream twice or pinning it in memory.
-    import shutil
-    import uuid as _uuid
-
-    stage = os.path.join(table.path, f"_stage_changes-{_uuid.uuid4().hex[:12]}")
-    (
-        compacted.withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
-        .write.mode("overwrite").partitionBy("_bucket").parquet(stage)
-    )
-    touched = sorted(
-        int(e.split("=", 1)[1])
-        for e in os.listdir(stage)
-        if e.startswith("_bucket=")
-    )
-    if not touched:
-        shutil.rmtree(stage, ignore_errors=True)
-        table.commit_data([], set(), applied_upto_lsn, batch_id,
-                          {"events": 0, "note": "empty batch",
-                           **(extra_metrics or {})})
-        return {"rows_written": 0, "buckets": 0, "secs": time.time() - t0}
-
-    changes = spark.read.option("basePath", stage).parquet(
-        *[os.path.join(stage, f"_bucket={b}") for b in touched]
-    )
-    target = table.read(spark, buckets=touched)
-
-    s = changes.alias("s")
-    t = target.alias("t")
-    joined = t.join(s, on=pk, how="full_outer")
-
-    take_source = F.col("s.lsn").isNotNull() & (
-        F.col("t._last_lsn").isNull() | (F.col("s.lsn") > F.col("t._last_lsn"))
-    )
-    keep = F.when(take_source, F.col("s.op") != F.lit(OP_DELETE)).otherwise(
-        F.col("t._last_lsn").isNotNull()
-    )
-
-    out_cols = [F.col(c) for c in pk]
-    for c in data_cols:
-        out_cols.append(
-            F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+    changes = compacted.withColumn(
+        "_bucket", bucket_expr(n_buckets, tuple(pk))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        touched = sorted(
+            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
         )
-    out_cols.append(
-        F.when(take_source, F.col("s.lsn")).otherwise(F.col("t._last_lsn")).alias("_last_lsn")
-    )
-    out_cols.append(
-        F.when(take_source, F.col("s.txid")).otherwise(F.col("t._last_txid")).alias("_last_txid")
-    )
+        if not touched:
+            table.commit_data([], set(), applied_upto_lsn, batch_id,
+                              {"events": 0, "note": "empty batch",
+                               **(extra_metrics or {})})
+            return {"rows_written": 0, "buckets": 0, "secs": time.time() - t0}
 
-    result = (
-        joined.filter(keep)
-        .select(*out_cols)
-        .withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
-        # one write task per touched bucket: bounded file count, COW-friendly
-        .repartition(max(len(touched), 1), "_bucket")
-    )
+        target = table.read(spark, buckets=touched)
 
-    new_files = table.write_data_files(result, spark)
-    shutil.rmtree(stage, ignore_errors=True)
+        s = changes.alias("s")
+        t = target.alias("t")
+        joined = t.join(s, on=pk, how="full_outer")
+
+        take_source = F.col("s.lsn").isNotNull() & (
+            F.col("t._last_lsn").isNull() | (F.col("s.lsn") > F.col("t._last_lsn"))
+        )
+        keep = F.when(take_source, F.col("s.op") != F.lit(OP_DELETE)).otherwise(
+            F.col("t._last_lsn").isNotNull()
+        )
+
+        out_cols = [F.col(c) for c in pk]
+        for c in data_cols:
+            out_cols.append(
+                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        out_cols.append(
+            F.when(take_source, F.col("s.lsn"))
+            .otherwise(F.col("t._last_lsn")).alias("_last_lsn")
+        )
+        out_cols.append(
+            F.when(take_source, F.col("s.txid"))
+            .otherwise(F.col("t._last_txid")).alias("_last_txid")
+        )
+
+        result = (
+            joined.filter(keep)
+            .select(*out_cols)
+            .withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
+            # one write task per touched bucket: bounded file count, COW-friendly
+            .repartition(max(len(touched), 1), "_bucket")
+        )
+
+        new_files = table.write_data_files(result, spark)
+    finally:
+        changes.unpersist()
     rows = sum(f["rows"] for f in new_files)
     metrics = {
         "events_compacted": None,  # caller may fill

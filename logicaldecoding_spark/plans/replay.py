@@ -28,7 +28,6 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.assembly import committed_data_events
 from ..operators.compaction import last_writer_wins, last_writer_wins_slim
 from ..operators.merge import merge_into
 from ..operators.typing import typed_changes
@@ -45,10 +44,11 @@ def ensure_table(
     pk: tuple[str, ...] = REPOS_PK,
     n_buckets: int = 64,
 ) -> LakeTable:
-    hint = os.path.join(table_path, "metadata", "version-hint.text")
-    if not os.path.exists(hint):
+    t = LakeTable(table_path)
+    if not t.io.exists(os.path.join(table_path, "metadata", "version-hint.text")):
         return LakeTable.create(
-            table_path, initial_schema or REPOS_INITIAL_SCHEMA, pk=pk, n_buckets=n_buckets
+            table_path, initial_schema or REPOS_INITIAL_SCHEMA, pk=pk,
+            n_buckets=n_buckets,
         )
     return LakeTable.load(table_path)
 
@@ -61,17 +61,32 @@ def apply_plans(
     *,
     parse_mode: str = "arrow",
     salt_buckets: int | None = None,
-    compaction: str = "slim",
+    compaction: str = "auto",
+    max_broadcast_keys: int = 20_000_000,
     stop_after_batches: int | None = None,
     batch_id_offset: int = 0,
 ) -> list[dict]:
     """Apply planned batches in order; skip already-applied LSN ranges.
 
-    ``compaction='slim'`` (default, the scale path) finds per-key winner LSNs
-    with a column-pruned narrow pass and broadcast-semi-joins them back, so
-    full tuples are never shuffled; ``'full'`` shuffles every event's
-    after-image through one aggregation (simpler; use when the per-batch
-    distinct-key count is too large to broadcast)."""
+    ``compaction`` selects the per-batch compaction plan:
+
+    * ``'slim'`` — the scale path: per-key winner LSNs from a column-pruned
+      narrow pass, broadcast-semi-joined back against the raw scan, so full
+      tuples are never shuffled and only winners are fully parsed.  Its
+      viability bound is the winner-set broadcast: fine up to ~10^7-10^8
+      distinct keys per batch, OOM beyond.
+    * ``'full'`` — shuffles every committed event's after-image through one
+      aggregation: no broadcast anywhere, survives any key count.
+    * ``'auto'`` (default) — estimates the batch's distinct-key count with
+      ``approx_count_distinct`` over the cached narrow pass and picks slim
+      below ``max_broadcast_keys``, full above — so the default config
+      survives a 100x key-count scale-up without an operator retuning
+      anything.  The aborted-txid anti-join applies the same guard (abort
+      sets are normally a tiny rollback tail, but nothing enforces that).
+
+    Both paths are property-tested equal (tests/test_properties.py)."""
+    from pyspark.sql import functions as F
+
     pk = table.pk
     applied = table.applied_upto_lsn
     batch_metrics: list[dict] = []
@@ -93,48 +108,57 @@ def apply_plans(
         tb0 = time.time()
         raw = raw_provider(b.lsn_from, b.lsn_to)
         schema = table.schema  # current-at-epoch schema
-        if compaction == "slim":
-            # ONE narrow pass over the batch: native parse pruned to
-            # (lsn, txid, seq, op, pk), cached (~60B/row — unlike full
-            # after-images this is cheap to cache).  From it: aborted txids
-            # (BEGIN w/o COMMIT -> broadcast anti-join) and per-key winner
-            # lsns.  Winner lsns then broadcast-semi-join the RAW scan, so
-            # only the winning payloads get the full-tuple parse.
-            from pyspark.sql import functions as F
 
-            p = parse_events(raw, mode="native")
-            pk_cols = [
-                F.coalesce(
-                    F.try_element_at("new_tuple", F.lit(c)),
-                    F.try_element_at("old_tuple", F.lit(c)),
-                ).alias(c)
-                for c in pk
-            ]
-            slim_all = p.select("lsn", "txid", "seq", "op", *pk_cols).persist()
-            markers = slim_all.filter(F.col("op").isin("B", "C"))
-            aborted = (
-                markers.groupBy("txid")
-                .agg(F.max(F.col("op") == "C").alias("has_commit"))
-                .filter(~F.col("has_commit"))
-                .select("txid")
-            )
-            slim_data = (
-                slim_all.filter(F.col("op").isin("I", "U", "D"))
-                .join(F.broadcast(aborted), "txid", "left_anti")
-                .select(*pk, "lsn", "seq")
-            )
+        # ONE narrow pass over the batch: native parse pruned to
+        # (lsn, txid, seq, op, pk), cached (~60B/row — unlike full
+        # after-images this is cheap to cache).  From it: aborted txids
+        # (BEGIN w/o COMMIT), the distinct-key estimate steering the
+        # slim/full choice, and (slim path) per-key winner lsns.
+        p = parse_events(raw, mode="native")
+        pk_cols = [
+            F.coalesce(
+                F.try_element_at("new_tuple", F.lit(c)),
+                F.try_element_at("old_tuple", F.lit(c)),
+            ).alias(c)
+            for c in pk
+        ]
+        slim_all = p.select("lsn", "txid", "seq", "op", *pk_cols).persist()
+        markers = slim_all.filter(F.col("op").isin("B", "C"))
+        aborted = (
+            markers.groupBy("txid")
+            .agg(F.max(F.col("op") == "C").alias("has_commit"))
+            .filter(~F.col("has_commit"))
+            .select("txid")
+            .persist()
+        )
+        slim_stats = slim_all.filter(F.col("op").isin("I", "U", "D")).agg(
+            F.approx_count_distinct(F.struct(*pk)).alias("est_keys")
+        ).unionByName(
+            aborted.agg(F.count("*").cast("long").alias("est_keys"))
+        ).collect()
+        est_keys, n_aborted = int(slim_stats[0][0]), int(slim_stats[1][0])
+
+        abort_join = F.broadcast(aborted) if n_aborted <= max_broadcast_keys \
+            else aborted
+        slim_data = (
+            slim_all.filter(F.col("op").isin("I", "U", "D"))
+            .join(abort_join, "txid", "left_anti")
+            .select(*pk, "lsn", "seq")
+        )
+        use_slim = compaction == "slim" or (
+            compaction == "auto" and est_keys <= max_broadcast_keys
+        )
+        if use_slim:
             winner_rows = last_writer_wins_slim(
                 raw, slim_data, parse_mode=parse_mode, pk=pk,
                 salt_buckets=salt_buckets,
             )
             compacted = typed_changes(winner_rows, schema, pk=pk)
         else:
-            slim_all = None
             parsed = parse_events(raw, mode=parse_mode)
-            # commit markers from a cheap substring prefilter over the raw
-            # scan + a parse of only those rows — cheaper than a second full
-            # parse and than caching the parsed batch
-            data = committed_data_events(parsed, raw=raw, parse_mode=parse_mode)
+            data = parsed.filter(F.col("op").isin("I", "U", "D")).join(
+                abort_join, "txid", "left_anti"
+            )
             changes = typed_changes(data, schema, pk=pk)
             compacted = last_writer_wins(changes, pk=pk, salt_buckets=salt_buckets)
         m = merge_into(
@@ -144,10 +168,12 @@ def apply_plans(
             applied_upto_lsn=b.lsn_to,
             batch_id=batch_id_offset + i,
             extra_metrics={"lsn_from": b.lsn_from, "lsn_to": b.lsn_to,
-                           "parse_mode": parse_mode},
+                           "parse_mode": parse_mode,
+                           "compaction_used": "slim" if use_slim else "full",
+                           "est_keys": est_keys, "aborted_txids": n_aborted},
         )
-        if slim_all is not None:
-            slim_all.unpersist()
+        slim_all.unpersist()
+        aborted.unpersist()
         batch_metrics.append(
             {
                 "batch": i,
@@ -155,6 +181,8 @@ def apply_plans(
                 "lsn_range": [b.lsn_from, b.lsn_to],
                 "rows_written": m["rows_written"],
                 "buckets": m["buckets"],
+                "compaction": "slim" if use_slim else "full",
+                "est_keys": est_keys,
                 "secs": round(time.time() - tb0, 3),
             }
         )
@@ -173,7 +201,8 @@ def replay(
     parse_mode: str = "arrow",
     n_data_batches: int = 1,
     salt_buckets: int | None = None,
-    compaction: str = "slim",
+    compaction: str = "auto",
+    max_broadcast_keys: int = 20_000_000,
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
@@ -202,6 +231,7 @@ def replay(
         parse_mode=parse_mode,
         salt_buckets=salt_buckets,
         compaction=compaction,
+        max_broadcast_keys=max_broadcast_keys,
         stop_after_batches=stop_after_batches,
     )
 

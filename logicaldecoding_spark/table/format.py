@@ -12,14 +12,25 @@ columns ``_last_lsn``/``_last_txid`` playing the role of the reference's
 
 Layout::
 
-    <table>/metadata/version-hint.text     current version N (atomic pointer)
-    <table>/metadata/v<N>.metadata.json    schema(s), manifest, offsets
-    <table>/data/<bucket>/<uuid>.parquet   data files (COW, bucket-granular)
+    <table>/metadata/version-hint.text         current version N (atomic pointer)
+    <table>/metadata/v<N>.metadata.json        schema(s), manifest, offsets
+    <table>/data/batch-<uuid>/_bucket=<b>/...  data files (COW, bucket-granular)
 
-Commit protocol (crash-safe on a POSIX fs): write data files -> write
-v<N+1>.metadata.json -> write hint to a temp file -> ``os.replace`` onto
-version-hint.text.  A crash anywhere before the final rename leaves the
-previous snapshot fully readable; orphaned files are ignored by the manifest.
+Data files are written ONCE, directly where they stay, and the manifest
+points at them — there is no rename/move step at all (files not in the
+manifest simply don't exist to readers), which is both the Iceberg model and
+what an object store requires (no atomic rename for data).
+
+Commit protocol: write data files -> create v<N+1>.metadata.json with an
+EXCLUSIVE create (optimistic concurrency: two committers racing to the same
+next version cannot both win — the loser gets CommitConflictError instead of
+silently dropping a snapshot) -> atomically swap version-hint.text.  A crash
+anywhere before the final swap leaves the previous snapshot fully readable;
+orphaned files are ignored by the manifest.
+
+Every filesystem touch goes through the ``FileIO`` seam (fileio.py) so the
+local-FS implementation can be swapped for an object-store one; enforced by
+tests/test_policy_lint.py.
 
 Partitioning: hash buckets ``pmod(xxhash64(repo, path), n_buckets)`` — the
 bucket of a row is a pure function of its primary key, so MERGE touches only
@@ -38,17 +49,16 @@ metadata no-op.
 from __future__ import annotations
 
 import json
-import os
+import os.path
 import time
 import uuid
-
-import pyarrow.parquet as pq
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schema import REPOS_PK, TableSchema
+from .fileio import FileIO, LocalFileIO
 
 FORMAT_VERSION = 1
 LINEAGE_FIELDS = [
@@ -65,8 +75,9 @@ def bucket_expr(n_buckets: int, pk: tuple[str, ...] = REPOS_PK) -> Column:
 class LakeTable:
     """Handle on a table directory; all state lives on disk."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, io: FileIO | None = None):
         self.path = path
+        self.io: FileIO = io or LocalFileIO()
         self._meta: dict | None = None
 
     # ------------------------------------------------------------------ paths
@@ -93,14 +104,15 @@ class LakeTable:
         pk: tuple[str, ...] = REPOS_PK,
         n_buckets: int = 64,
         exist_ok: bool = False,
+        io: FileIO | None = None,
     ) -> "LakeTable":
-        t = LakeTable(path)
-        if os.path.exists(t._hint_path):
+        t = LakeTable(path, io=io)
+        if t.io.exists(t._hint_path):
             if exist_ok:
                 return t
             raise FileExistsError(f"table already exists at {path}")
-        os.makedirs(t._meta_dir, exist_ok=True)
-        os.makedirs(t._data_dir, exist_ok=True)
+        t.io.makedirs(t._meta_dir)
+        t.io.makedirs(t._data_dir)
         meta = {
             "format_version": FORMAT_VERSION,
             "table_uuid": str(uuid.uuid4()),
@@ -124,36 +136,27 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(path: str) -> "LakeTable":
-        t = LakeTable(path)
+    def load(path: str, io: FileIO | None = None) -> "LakeTable":
+        t = LakeTable(path, io=io)
         t.metadata()  # force read
         return t
 
     def _write_meta(self, meta: dict) -> None:
         v = meta["version"]
-        mp = self._meta_path(v)
-        tmp = mp + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, mp)
-        hint_tmp = self._hint_path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(hint_tmp, "w") as f:
-            f.write(str(v))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(hint_tmp, self._hint_path)  # THE atomic commit point
+        # exclusive create = compare-and-swap on the version sequence: if a
+        # concurrent committer already claimed v, this raises
+        # CommitConflictError (the caller must refresh + retry or abort)
+        # instead of both committers "succeeding" and one snapshot vanishing.
+        self.io.write_text_exclusive(self._meta_path(v), json.dumps(meta, indent=1))
+        self.io.write_text_atomic(self._hint_path, str(v))  # THE commit point
         self._meta = meta
 
     # --------------------------------------------------------------- readers
     def metadata(self, refresh: bool = True) -> dict:
         if self._meta is not None and not refresh:
             return self._meta
-        with open(self._hint_path) as f:
-            v = int(f.read().strip())
-        with open(self._meta_path(v)) as f:
-            self._meta = json.load(f)
+        v = int(self.io.read_text(self._hint_path).strip())
+        self._meta = json.loads(self.io.read_text(self._meta_path(v)))
         return self._meta
 
     @property
@@ -181,9 +184,8 @@ class LakeTable:
         (the time-travel index; any vN.metadata.json remains readable)."""
         out = []
         v = 0
-        while os.path.exists(self._meta_path(v)):
-            with open(self._meta_path(v)) as f:
-                m = json.load(f)
+        while self.io.exists(self._meta_path(v)):
+            m = json.loads(self.io.read_text(self._meta_path(v)))
             s = m["snapshot"]
             out.append(
                 {
@@ -202,8 +204,7 @@ class LakeTable:
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: scan the table as of an older snapshot."""
-        with open(self._meta_path(version)) as f:
-            meta = json.load(f)
+        meta = json.loads(self.io.read_text(self._meta_path(version)))
         return self.read(spark, _meta_override=meta)
 
     def schema_by_id(self, schema_id: int) -> TableSchema:
@@ -334,35 +335,39 @@ class LakeTable:
     def write_data_files(self, result: DataFrame, spark: SparkSession) -> list[dict]:
         """Write a MERGE result (must carry ``_bucket``) as new data files.
 
-        Writes via Spark partitioned-by-bucket into a staging dir, then moves
-        files into data/<bucket>/ and harvests per-file stats (row count, max
-        applied LSN) from the Parquet footers — no extra Spark job.
+        Files are written by Spark directly into a fresh
+        ``data/batch-<uuid>/`` directory and NEVER moved: the manifest points
+        at them where they landed (a file not in the manifest doesn't exist
+        to readers, so the write is invisible until commit).  Write-once is
+        both the Iceberg model and the only model an object store supports —
+        and it removes the per-file driver-side rename pass, a serial
+        section that didn't shrink with cores.
+
+        Per-file stats (row count, max applied LSN) come from the Parquet
+        footers, read concurrently through the FileIO seam — tiny
+        independent I/Os, no extra Spark job.
         """
-        stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:12]}")
+        batch_dir_rel = os.path.join("data", f"batch-{uuid.uuid4().hex[:12]}")
+        out_dir = os.path.join(self.path, batch_dir_rel)
         (
             result.write.mode("overwrite")
             .option("compression", "snappy")
             .partitionBy("_bucket")
-            .parquet(stage)
+            .parquet(out_dir)
         )
         schema_id = self.schema.schema_id
-        moved: list[tuple[str, int]] = []  # (dst_rel, bucket)
-        for entry in sorted(os.listdir(stage)):
+        written: list[tuple[str, int]] = []  # (rel_path, bucket)
+        for entry in self.io.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             bucket = int(entry.split("=", 1)[1])
-            bdir = os.path.join(stage, entry)
-            os.makedirs(os.path.join(self._data_dir, str(bucket)), exist_ok=True)
-            for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                dst_rel = os.path.join("data", str(bucket), f"{uuid.uuid4().hex}.parquet")
-                os.replace(os.path.join(bdir, fn), os.path.join(self.path, dst_rel))
-                moved.append((dst_rel, bucket))
+            for fn in self.io.listdir(os.path.join(out_dir, entry)):
+                if fn.endswith(".parquet"):
+                    written.append((os.path.join(batch_dir_rel, entry, fn), bucket))
 
         def harvest(item: tuple[str, int]) -> dict:
-            dst_rel, bucket = item
-            md = pq.ParquetFile(os.path.join(self.path, dst_rel)).metadata
+            rel, bucket = item
+            md = self.io.parquet_metadata(os.path.join(self.path, rel))
             max_lsn = None
             try:
                 idx = md.schema.to_arrow_schema().get_field_index("_last_lsn")
@@ -376,7 +381,7 @@ class LakeTable:
             except Exception:
                 pass
             return {
-                "path": dst_rel,
+                "path": rel,
                 "bucket": bucket,
                 "schema_id": schema_id,
                 "rows": md.num_rows,
@@ -386,9 +391,6 @@ class LakeTable:
         # footer reads are tiny independent I/Os: do them concurrently
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            new_files = list(ex.map(harvest, moved))
-        import shutil
-
-        shutil.rmtree(stage, ignore_errors=True)
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            new_files = list(ex.map(harvest, written))
         return new_files

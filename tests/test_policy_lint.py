@@ -80,6 +80,23 @@ def _pandas_udf_bodies(src: str):
             i += 1
 
 
+SEAM_FILES = ["table/format.py", "operators/merge.py"]
+DIRECT_FS = re.compile(r"\b(?:os\.(?!path\b|path\.)|shutil\.|\bopen\()")
+
+
+def test_format_uses_fileio_seam():
+    """Table format + merge must route every filesystem touch through the
+    FileIO seam (SURVEY §4.4) so an object-store IO can be dropped in;
+    os.path.* (pure string ops) is the only allowed os usage."""
+    bad = []
+    for rel in SEAM_FILES:
+        with open(os.path.join(PKG, rel)) as f:
+            for ln, line in enumerate(f, 1):
+                if DIRECT_FS.search(line):
+                    bad.append(f"{rel}:{ln}: {line.strip()}")
+    assert not bad, "direct filesystem calls outside FileIO:\n" + "\n".join(bad)
+
+
 def test_no_per_row_loops_in_vectorized_udfs():
     bad = []
     for p, src in _sources():

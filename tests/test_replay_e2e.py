@@ -73,3 +73,38 @@ def test_replay_idempotent_rerun(spark, small_log, small_oracle, tmp_path):
     run2 = replay(spark, log_path, table_path, parse_mode="native", n_buckets=8)
     assert run2["batches_applied"] == 0
     assert_converged(spark, table_path, oracle_state)
+
+
+def test_auto_compaction_switches_to_full_on_huge_key_count(
+    spark, small_log, small_oracle, tmp_path
+):
+    """compaction='auto' must abandon the winner-set broadcast when the
+    estimated per-batch distinct-key count exceeds broadcast viability and
+    still converge — the default config survives key-count scale-up with no
+    operator retuning (VERDICT r1 #4)."""
+    log_path, _ = small_log
+    oracle_state, _ = small_oracle
+    table_path = str(tmp_path / "table_auto_full")
+    run = replay(
+        spark, log_path, table_path, parse_mode="native", n_buckets=8,
+        compaction="auto", max_broadcast_keys=3,  # force the guard to fire
+    )
+    data_batches = [b for b in run["batches"] if b["kind"] == "data"]
+    assert data_batches and all(b["compaction"] == "full" for b in data_batches)
+    assert all(b["est_keys"] > 3 for b in data_batches)
+    assert_converged(spark, table_path, oracle_state)
+
+
+def test_auto_compaction_prefers_slim_below_threshold(
+    spark, small_log, small_oracle, tmp_path
+):
+    log_path, _ = small_log
+    oracle_state, _ = small_oracle
+    table_path = str(tmp_path / "table_auto_slim")
+    run = replay(
+        spark, log_path, table_path, parse_mode="native", n_buckets=8,
+        compaction="auto",
+    )
+    data_batches = [b for b in run["batches"] if b["kind"] == "data"]
+    assert data_batches and all(b["compaction"] == "slim" for b in data_batches)
+    assert_converged(spark, table_path, oracle_state)

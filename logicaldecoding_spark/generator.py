@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -381,22 +382,38 @@ def generate_log(out_path: str, **kwargs) -> dict:
     return WalLogGenerator(params).write(out_path)
 
 
-def split_log_dir(log_path: str, out_dir: str, n_files: int) -> list[str]:
-    """Split a captured log into ~n_files Parquet files cut at transaction
-    boundaries (no txn straddles a file) — the shape a WAL-archiver sink
-    produces and the constraint streaming/stream_replay.py documents."""
+def split_log_dir(
+    log_path: str, out_dir: str, n_files: int, cut_mid_txn: bool = False
+) -> list[str]:
+    """Split a captured log into ~n_files Parquet files.
+
+    Default: cut at transaction boundaries (no txn straddles a file) — the
+    shape a txn-aware WAL-archiver sink produces.  ``cut_mid_txn=True`` cuts
+    on size alone (the shape a naive size-rotating archiver produces):
+    transactions straddle file boundaries, exercising the streaming
+    consumer's cross-file transaction assembly."""
     table = pq.read_table(log_path)
-    ops = np.asarray(table["op"].to_pylist())
-    begins = np.nonzero(ops == OP_BEGIN)[0]
-    begins = begins[begins > 0]
     want = max(1, n_files)
-    step = max(1, len(begins) // want)
-    cuts = [0, *[int(b) for b in begins[step::step]], table.num_rows]
+    if cut_mid_txn:
+        step = max(1, table.num_rows // want)
+        cuts = [0, *range(step, table.num_rows, step), table.num_rows]
+    else:
+        ops = np.asarray(table["op"].to_pylist())
+        begins = np.nonzero(ops == OP_BEGIN)[0]
+        begins = begins[begins > 0]
+        step = max(1, len(begins) // want)
+        cuts = [0, *[int(b) for b in begins[step::step]], table.num_rows]
     cuts = sorted(set(cuts))
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    base = time.time() - 3600
     for k, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
         pth = os.path.join(out_dir, f"log-{k:05d}.parquet")
         pq.write_table(table.slice(lo, hi - lo), pth)
+        # strictly increasing mtimes: Spark's file-stream source orders files
+        # by modification time, and sub-millisecond writes would otherwise
+        # tie — giving nondeterministic (possibly LSN-violating) micro-batch
+        # order.  A real WAL archiver rotates files seconds apart; emulate.
+        os.utime(pth, (base + k, base + k))
         paths.append(pth)
     return paths

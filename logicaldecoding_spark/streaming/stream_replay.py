@@ -2,30 +2,53 @@
 
 The streaming twin of plans/replay.py — the closest analog of the
 reference's live mode, where the client tails the replication socket and
-applies transactions as they commit (/root/reference/src/replication.rs:114-141).
-Here the "socket" is a growing directory of log files (the shape a Debezium/
-WAL-archiver sink produces): ``readStream`` file source discovers new files,
-``foreachBatch`` runs the exact same plan/apply pipeline per micro-batch, and
-the lake table's snapshot watermark makes the sink idempotent — a restarted
-query that re-delivers a micro-batch is a no-op, which together with the
-streaming checkpoint gives end-to-end exactly-once.
+assembles transactions across arbitrary socket reads before applying them
+(/root/reference/src/replication.rs:114-141, the BEGIN/data/COMMIT state
+machine).  Here the "socket" is a growing directory of log files (the shape
+a Debezium/WAL-archiver sink produces): ``readStream`` file source discovers
+new files, ``foreachBatch`` runs the exact same plan/apply pipeline per
+micro-batch, and the lake table's snapshot watermark makes the sink
+idempotent — a restarted query that re-delivers a micro-batch is a no-op,
+which together with the streaming checkpoint gives end-to-end exactly-once.
 
-Constraint (documented, enforced by the file writer): each log FILE contains
-whole transactions (no txn straddles a file boundary), so commit markers for
-every data event in a micro-batch are present in that micro-batch.  Cross-
-file transaction assembly would need a stateful buffer of open transactions
-(applyInPandasWithState) — future work, not required for archiver-shaped
-logs.
+Cross-file transaction assembly
+-------------------------------
+Transactions MAY straddle file (micro-batch) boundaries: events of
+transactions whose COMMIT has not arrived yet are carried over in a
+versioned "pending" sidecar under the checkpoint directory
+(``pending/epoch=<N>``), the distributed analog of the reference's open-
+transaction buffer.  Each epoch reads its predecessor's sidecar, prepends it
+to the micro-batch, and classifies every non-committed transaction:
+
+* events AFTER the last COMMIT in the combined batch -> still open, carried
+  forward (the cut-at-file-boundary case);
+* events BEFORE the last COMMIT with no COMMIT of their own -> aborted,
+  dropped — sound because WAL order emits transactions as contiguous
+  blocks (logical decoding streams each txn whole at commit time), so a
+  block that ended without COMMIT before a later txn committed can never
+  commit.
+
+The sidecar write is keyed by epoch and the previous epoch's sidecar is
+retained, so a crashed-and-redelivered micro-batch recomputes byte-identical
+pending state (idempotent).  File arrival must be in LSN order (the file
+source sorts by name; name archive files monotonically): a file whose LSNs
+are entirely below the table watermark is detected and rejected loudly
+rather than silently skipped.
 """
 
 from __future__ import annotations
 
+import os.path
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..plans.batches import plan_batches
 from ..plans.replay import apply_plans, ensure_table
-from ..schema import REPOS_PK, TableSchema
+from ..schema import OP_COMMIT, REPOS_PK, TableSchema
+from ..sources.parse import parse_events
+from ..table.fileio import LocalFileIO
 
 # minimal on-disk schema the streaming source needs (lsn + payload; other
 # captured-log columns are ignored by the engine)
@@ -35,6 +58,36 @@ LOG_FILE_SCHEMA = T.StructType(
         T.StructField("payload", T.StringType(), False),
     ]
 )
+
+
+class LateFileError(RuntimeError):
+    """A log file arrived whose LSNs are all below the table watermark —
+    out-of-order file delivery would mean silent data loss, so fail loudly
+    (ADVICE r1: the in-LSN-order file-arrival requirement is enforced, not
+    assumed)."""
+
+
+def _classify_txns(combined: DataFrame) -> DataFrame:
+    """Tag each event's txid as committed / open (pending) / aborted.
+
+    Returns a (txid, status) frame, status in {'committed','open','aborted'}.
+    Narrow native parse only — no full-tuple work.
+    """
+    p = parse_events(combined, mode="native").select("lsn", "txid", "op")
+    per_txn = p.groupBy("txid").agg(
+        F.max(F.col("op") == OP_COMMIT).alias("has_commit"),
+        F.max("lsn").alias("max_lsn"),
+    )
+    last_commit = p.filter(F.col("op") == OP_COMMIT).agg(
+        F.coalesce(F.max("lsn"), F.lit(0)).alias("lc")
+    )
+    return per_txn.crossJoin(F.broadcast(last_commit)).select(
+        "txid",
+        F.when(F.col("has_commit"), F.lit("committed"))
+        .when(F.col("max_lsn") > F.col("lc"), F.lit("open"))
+        .otherwise(F.lit("aborted"))
+        .alias("status"),
+    )
 
 
 def stream_replay(
@@ -49,6 +102,8 @@ def stream_replay(
     parse_mode: str = "arrow",
     salt_buckets: int | None = None,
     max_files_per_trigger: int | None = None,
+    keep_pending_epochs: int = 3,
+    strict_order: bool = False,
 ):
     """Start the streaming replay; returns the StreamingQuery.
 
@@ -59,7 +114,103 @@ def stream_replay(
     from ..dist import ship_package
 
     ship_package(spark)  # executor workers import this package inside UDFs
-    table = ensure_table(table_path, initial_schema, pk, n_buckets)
+    ensure_table(table_path, initial_schema, pk, n_buckets)
+    io = LocalFileIO()
+    pending_root = os.path.join(checkpoint_dir, "pending")
+
+    def _pending_path(epoch: int) -> str:
+        return os.path.join(pending_root, f"epoch={epoch}")
+
+    def _last_pending_before(epoch: int) -> str | None:
+        """Most recent retained sidecar older than ``epoch`` (epochs with no
+        work emit no sidecar, so the predecessor may be further back)."""
+        if not io.exists(pending_root):
+            return None
+        best = -1
+        for entry in io.listdir(pending_root):
+            if entry.startswith("epoch="):
+                e = int(entry.split("=", 1)[1])
+                if best < e < epoch:
+                    best = e
+        return _pending_path(best) if best >= 0 else None
+
+    def apply_micro_batch(df: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        prev = _last_pending_before(epoch)
+        combined = df.select("lsn", "payload")
+        if prev is not None:
+            combined = (
+                spark.read.schema(LOG_FILE_SCHEMA).parquet(prev)
+                .unionByName(combined)
+            )
+        combined = combined.persist()
+        try:
+            status = _classify_txns(combined).persist()
+            open_txids = status.filter(F.col("status") == "open").select("txid")
+            # tag each raw row with its txid via a single JVM-side JSON field
+            # extraction (no full parse, no join)
+            tagged = combined.withColumn(
+                "txid", F.get_json_object("payload", "$.txid").cast("long")
+            )
+            pending = tagged.join(F.broadcast(open_txids), "txid", "left_semi")
+            applyable = tagged.join(F.broadcast(open_txids), "txid", "left_anti")
+
+            # write this epoch's sidecar FIRST (deterministic recompute on
+            # redelivery: the previous epoch's sidecar is retained below)
+            (
+                pending.select("lsn", "payload")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(_pending_path(epoch))
+            )
+
+            batch = applyable.select("lsn", "payload")
+            plans = plan_batches(batch, target_data_batches=1, parse_mode="native")
+            tbl = ensure_table(table_path, initial_schema, pk, n_buckets)
+            if plans:
+                hi = max(p.lsn_to for p in plans)
+                if hi <= tbl.applied_upto_lsn and df.limit(1).count() > 0:
+                    # Either (a) the streaming checkpoint re-delivered an
+                    # already-applied micro-batch after a restart — benign,
+                    # apply_plans skips it idempotently — or (b) a log file
+                    # arrived out of LSN order, which would otherwise be
+                    # silently dropped by the watermark skip.  The two are
+                    # indistinguishable here, so default = warn loudly and
+                    # skip (keeps restart exactly-once); strict_order=True
+                    # fails the query for archive pipelines that guarantee
+                    # ordered delivery and want loss to be impossible.
+                    msg = (
+                        f"micro-batch max lsn {hi} <= table watermark "
+                        f"{tbl.applied_upto_lsn}: re-delivered batch (benign) "
+                        "or out-of-LSN-order file arrival (data loss); "
+                        "archive files must arrive in LSN order"
+                    )
+                    if strict_order:
+                        raise LateFileError(msg)
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
+                apply_plans(
+                    spark,
+                    tbl,
+                    plans,
+                    lambda lo, hi: batch.filter(
+                        (batch.lsn > (lo or 0)) & (batch.lsn <= hi)
+                    ),
+                    parse_mode=parse_mode,
+                    salt_buckets=salt_buckets,
+                    batch_id_offset=epoch * 1000,
+                )
+            status.unpersist()
+            # prune sidecars older than the retention window
+            if io.exists(pending_root):
+                for entry in io.listdir(pending_root):
+                    if entry.startswith("epoch="):
+                        e = int(entry.split("=", 1)[1])
+                        if e < epoch - keep_pending_epochs:
+                            io.remove_tree(os.path.join(pending_root, entry))
+        finally:
+            combined.unpersist()
 
     reader = (
         spark.readStream.schema(LOG_FILE_SCHEMA)
@@ -67,30 +218,6 @@ def stream_replay(
         .option("maxFilesPerTrigger", str(max_files_per_trigger or 16))
     )
     raw_stream = reader.parquet(log_dir).select("lsn", "payload")
-
-    def apply_micro_batch(df: DataFrame, epoch_id: int) -> None:
-        batch = df.persist()
-        try:
-            # same planner as batch replay, over this micro-batch only:
-            # schema-change events become barriers within the micro-batch
-            plans = plan_batches(batch, target_data_batches=1, parse_mode="native")
-            if not plans:
-                return
-            tbl = ensure_table(table_path, initial_schema, pk, n_buckets)
-            apply_plans(
-                spark,
-                tbl,
-                plans,
-                lambda lo, hi: batch.filter(
-                    (batch.lsn > (lo or 0)) & (batch.lsn <= hi)
-                ),
-                parse_mode=parse_mode,
-                salt_buckets=salt_buckets,
-                batch_id_offset=int(epoch_id) * 1000,
-            )
-        finally:
-            batch.unpersist()
-
     return (
         raw_stream.writeStream.foreachBatch(apply_micro_batch)
         .option("checkpointLocation", checkpoint_dir)

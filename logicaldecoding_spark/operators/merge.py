@@ -58,13 +58,16 @@ def merge_into(
     data_cols = [f.name for f in schema.fields if f.name not in pk]
     n_buckets = table.n_buckets
 
+    phases: dict[str, float] = {}
     changes = compacted.withColumn(
         "_bucket", bucket_expr(n_buckets, tuple(pk))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        t1 = time.time()
         touched = sorted(
             r["_bucket"] for r in changes.select("_bucket").distinct().collect()
         )
+        phases["discover"] = round(time.time() - t1, 3)
         if not touched:
             table.commit_data([], set(), applied_upto_lsn, batch_id,
                               {"events": 0, "note": "empty batch",
@@ -106,9 +109,12 @@ def merge_into(
             .repartition(max(len(touched), 1), "_bucket")
         )
 
+        t2 = time.time()
         new_files = table.write_data_files(result, spark)
+        phases["write"] = round(time.time() - t2, 3)
     finally:
         changes.unpersist()
+    t3 = time.time()
     rows = sum(f["rows"] for f in new_files)
     metrics = {
         "events_compacted": None,  # caller may fill
@@ -119,4 +125,6 @@ def merge_into(
         **(extra_metrics or {}),
     }
     table.commit_data(new_files, set(touched), applied_upto_lsn, batch_id, metrics)
-    return {"rows_written": rows, "buckets": len(touched), "secs": time.time() - t0}
+    phases["commit"] = round(time.time() - t3, 3)
+    return {"rows_written": rows, "buckets": len(touched),
+            "secs": time.time() - t0, "phases": phases}

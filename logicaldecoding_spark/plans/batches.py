@@ -37,9 +37,14 @@ class BatchPlan:
 
 
 def plan_batches(
-    raw: DataFrame, target_data_batches: int = 1, parse_mode: str = "native"
+    raw: DataFrame, target_data_batches: int = 1, parse_mode: str = "native",
+    source_table: str | None = None,
 ) -> list[BatchPlan]:
-    """Plan the replay over a raw (lsn, payload) log scan."""
+    """Plan the replay over a raw (lsn, payload) log scan.
+
+    ``source_table`` routes schema-change events in a multi-table log: R
+    events naming another table are ignored (an R with no table field is
+    table-agnostic and always applies)."""
     bounds = raw.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
     ).collect()[0]
@@ -48,14 +53,17 @@ def plan_batches(
     max_lsn = int(bounds["hi"])
 
     # schema-change events: rare; cheap substring prefilter, then a real parse
-    r_rows = (
+    r_df = (
         parse_events(
             raw.filter(F.col("payload").contains('"op":"R"')), mode=parse_mode
         )
         .filter(F.col("op") == "R")
-        .select("lsn", "schema_change")
-        .collect()
     )
+    if source_table is not None:
+        r_df = r_df.filter(
+            F.col("table").isNull() | (F.col("table") == F.lit(source_table))
+        )
+    r_rows = r_df.select("lsn", "schema_change").collect()
     r_rows.sort(key=lambda r: r["lsn"])
 
     plans: list[BatchPlan] = []

@@ -63,6 +63,7 @@ def apply_plans(
     salt_buckets: int | None = None,
     compaction: str = "auto",
     max_broadcast_keys: int = 20_000_000,
+    source_table: str | None = None,
     stop_after_batches: int | None = None,
     batch_id_offset: int = 0,
 ) -> list[dict]:
@@ -115,6 +116,16 @@ def apply_plans(
         # (BEGIN w/o COMMIT), the distinct-key estimate steering the
         # slim/full choice, and (slim path) per-key winner lsns.
         p = parse_events(raw, mode="native")
+        if source_table is not None:
+            # multi-table routing (RowMessage.table, reference
+            # src/pg_logicaldec.proto:46): foreign tables' data events are
+            # dropped here, BEFORE compaction/merge, so a log carrying
+            # several tables can never corrupt this table's state.  B/C
+            # markers are transaction-level (no table) and pass through.
+            p = p.filter(
+                ~F.col("op").isin("I", "U", "D")
+                | (F.col("table") == F.lit(source_table))
+            )
         pk_cols = [
             F.coalesce(
                 F.try_element_at("new_tuple", F.lit(c)),
@@ -131,12 +142,14 @@ def apply_plans(
             .select("txid")
             .persist()
         )
+        t_stats0 = time.time()
         slim_stats = slim_all.filter(F.col("op").isin("I", "U", "D")).agg(
             F.approx_count_distinct(F.struct(*pk)).alias("est_keys")
         ).unionByName(
             aborted.agg(F.count("*").cast("long").alias("est_keys"))
         ).collect()
         est_keys, n_aborted = int(slim_stats[0][0]), int(slim_stats[1][0])
+        t_stats = time.time() - t_stats0
 
         abort_join = F.broadcast(aborted) if n_aborted <= max_broadcast_keys \
             else aborted
@@ -156,9 +169,10 @@ def apply_plans(
             compacted = typed_changes(winner_rows, schema, pk=pk)
         else:
             parsed = parse_events(raw, mode=parse_mode)
-            data = parsed.filter(F.col("op").isin("I", "U", "D")).join(
-                abort_join, "txid", "left_anti"
-            )
+            data = parsed.filter(F.col("op").isin("I", "U", "D"))
+            if source_table is not None:
+                data = data.filter(F.col("table") == F.lit(source_table))
+            data = data.join(abort_join, "txid", "left_anti")
             changes = typed_changes(data, schema, pk=pk)
             compacted = last_writer_wins(changes, pk=pk, salt_buckets=salt_buckets)
         m = merge_into(
@@ -184,6 +198,8 @@ def apply_plans(
                 "compaction": "slim" if use_slim else "full",
                 "est_keys": est_keys,
                 "secs": round(time.time() - tb0, 3),
+                "stats_secs": round(t_stats, 3),
+                "phases": m.get("phases"),
             }
         )
         n_done += 1
@@ -203,6 +219,7 @@ def replay(
     salt_buckets: int | None = None,
     compaction: str = "auto",
     max_broadcast_keys: int = 20_000_000,
+    source_table: str | None = None,
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
@@ -221,7 +238,8 @@ def replay(
         else LakeTable.load(table_path)
 
     raw_all = read_wal_log(spark, log_path)
-    plans = plan_batches(raw_all, target_data_batches=n_data_batches, parse_mode="native")
+    plans = plan_batches(raw_all, target_data_batches=n_data_batches,
+                         parse_mode="native", source_table=source_table)
 
     metrics = apply_plans(
         spark,
@@ -232,6 +250,7 @@ def replay(
         salt_buckets=salt_buckets,
         compaction=compaction,
         max_broadcast_keys=max_broadcast_keys,
+        source_table=source_table,
         stop_after_batches=stop_after_batches,
     )
 

@@ -21,12 +21,34 @@ from pyspark.sql import functions as F
 from ..schema import REPOS_PK, TableSchema, spark_type
 
 
+def datum_to_typed(raw: Column, type_name: str) -> Column:
+    """Decode one tuple-map datum (string or NULL) to its typed column.
+
+    The map<string,string> wire can't carry bytes or Point natively
+    (DatumMessage oneof, reference src/pg_logicaldec.proto:16-35), so those
+    travel in safe text encodings and are decoded here, vectorized JVM-side:
+
+    * binary — base64 text (``datum_bytes``, proto:31) -> try_to_binary
+    * point  — Postgres text form ``(x,y)`` (``datum_point``, proto:32)
+      -> struct<x double, y double>
+    * everything else — try_cast under the epoch schema (fold-to-NULL)
+    """
+    if type_name == "binary":
+        return F.try_to_binary(raw, F.lit("base64"))
+    if type_name == "point":
+        num = r"([-+0-9.eE]+)"
+        x = F.regexp_extract(raw, rf"^\({num},", 1).try_cast("double")
+        y = F.regexp_extract(raw, rf",{num}\)$", 1).try_cast("double")
+        return F.when(
+            raw.isNotNull(), F.struct(x.alias("x"), y.alias("y"))
+        )
+    return raw.try_cast(spark_type(type_name))
+
+
 def typed_value(tuple_col: str, name: str, type_name: str) -> Column:
-    return (
-        F.try_element_at(F.col(tuple_col), F.lit(name))
-        .try_cast(spark_type(type_name))
-        .alias(name)
-    )
+    return datum_to_typed(
+        F.try_element_at(F.col(tuple_col), F.lit(name)), type_name
+    ).alias(name)
 
 
 def typed_changes(
@@ -44,12 +66,13 @@ def typed_changes(
     for f in schema.fields:
         if f.name in pk:
             pk_cols.append(
-                F.coalesce(
-                    F.try_element_at(F.col("new_tuple"), F.lit(f.name)),
-                    F.try_element_at(F.col("old_tuple"), F.lit(f.name)),
-                )
-                .try_cast(spark_type(f.type))
-                .alias(f.name)
+                datum_to_typed(
+                    F.coalesce(
+                        F.try_element_at(F.col("new_tuple"), F.lit(f.name)),
+                        F.try_element_at(F.col("old_tuple"), F.lit(f.name)),
+                    ),
+                    f.type,
+                ).alias(f.name)
             )
         else:
             data_cols.append(typed_value("new_tuple", f.name, f.type))

@@ -39,6 +39,17 @@ from .schema import (
     TableSchema,
 )
 
+def _point(v: str) -> dict:
+    x, y = v.strip()[1:-1].split(",")
+    return {"x": float(x), "y": float(y)}
+
+
+def _b64(v: str) -> bytes:
+    import base64
+
+    return base64.b64decode(v)
+
+
 _CASTS = {
     "string": str,
     "int": int,
@@ -46,6 +57,8 @@ _CASTS = {
     "float": float,
     "double": float,
     "boolean": lambda v: v in ("true", "True", "t", "1"),
+    "binary": _b64,  # datum_bytes travels base64 (pg_logicaldec.proto:31)
+    "point": _point,  # datum_point "(x,y)" text (pg_logicaldec.proto:32)
 }
 
 

@@ -142,13 +142,27 @@ def apply_plans(
             .select("txid")
             .persist()
         )
+        # ONE single-stage agg pass (no shuffle, no union of independent
+        # subtrees — a union would materialize slim_all's cache twice
+        # concurrently): distinct-key estimate for the slim/full choice and
+        # an aborted-txn estimate (#BEGINs - #COMMITs; every txn BEGINs) for
+        # the anti-join's broadcast-viability guard.  Both steer plan choice
+        # only — approximation is fine, exactness is not required.
         t_stats0 = time.time()
-        slim_stats = slim_all.filter(F.col("op").isin("I", "U", "D")).agg(
-            F.approx_count_distinct(F.struct(*pk)).alias("est_keys")
-        ).unionByName(
-            aborted.agg(F.count("*").cast("long").alias("est_keys"))
-        ).collect()
-        est_keys, n_aborted = int(slim_stats[0][0]), int(slim_stats[1][0])
+        is_data = F.col("op").isin("I", "U", "D")
+        st = slim_all.agg(
+            F.approx_count_distinct(
+                F.when(is_data, F.struct(*pk))
+            ).alias("keys"),
+            F.approx_count_distinct(
+                F.when(F.col("op") == "B", F.col("txid"))
+            ).alias("b"),
+            F.approx_count_distinct(
+                F.when(F.col("op") == "C", F.col("txid"))
+            ).alias("c"),
+        ).collect()[0]
+        est_keys = int(st["keys"])
+        n_aborted = max(0, int(st["b"]) - int(st["c"]))
         t_stats = time.time() - t_stats0
 
         abort_join = F.broadcast(aborted) if n_aborted <= max_broadcast_keys \

@@ -95,6 +95,11 @@ _SPARK_TYPES: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
     "binary": T.BinaryType(),
     "timestamp": T.TimestampType(),
+    # decoderbufs Point{x,y} (reference src/pg_logicaldec.proto:16-19,32);
+    # wire encoding in the tuple map is the Postgres text form "(x,y)"
+    "point": T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    ),
 }
 
 # legal widenings (Iceberg spec's primitive type promotion set)

@@ -169,6 +169,65 @@ def _q_w1_topk_per_group(spark, sf):  # top-k per group window
     )
 
 
+def _q_w2_lag_delta(spark, sf):  # W: order recovery via lag over event-time
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.lag("value").over(w), 4
+        ).alias("value_delta"),
+    )
+
+
+def _q_a4_rollup(spark, sf):  # A: hierarchical agg (ROLLUP)
+    ev = _t(spark, sf, "events")
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+def _q_t10_sessionize(spark, sf):  # T: gap-based sessionization (batch form)
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # ntz -> utc seconds
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+def _q_f7_string_funcs(spark, sf):  # F: scalar string functions
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.length("text").alias("len"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("tag"),
+        F.reverse(F.substring("text", 1, 8)).alias("head_rev"),
+    )
+
+
+def _q_q5_local_supply(spark, sf):  # multi-way broadcast-chain join + agg
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 def _q_j1_keyed_merge(spark, sf):  # J1: keyed lookup-and-merge (MERGE shape)
     cust = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("key"), "c_name"
@@ -341,6 +400,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_global_order": _q_o1_global_order,
         "t9_window_tumbling": _q_t9_window_tumbling,
         "w1_topk_per_group": _q_w1_topk_per_group,
+        "w2_lag_delta": _q_w2_lag_delta,
+        "a4_rollup": _q_a4_rollup,
+        "t10_sessionize": _q_t10_sessionize,
+        "f7_string_funcs": _q_f7_string_funcs,
+        "q5_local_supply": _q_q5_local_supply,
         "j1_keyed_merge": _q_j1_keyed_merge,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
@@ -446,6 +510,52 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER
                     (PARTITION BY event_type ORDER BY value DESC, event_id) rn
                   FROM events) WHERE rn <= 3
+        """,
+        "w2_lag_delta": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id), 4)
+                       AS value_delta
+            FROM events
+        """,
+        "a4_rollup": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type)
+        """,
+        "t10_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800 OR lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                                IS NULL THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+                FROM g)
+            SELECT user_id, sess_id, count(*) AS n_events,
+                   min(ts) AS session_start
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "f7_string_funcs": """
+            SELECT doc_id, upper(substring(text, 1, 12)) AS head_upper,
+                   len(text) AS len,
+                   lang || ':' || source AS tag,
+                   reverse(substring(text, 1, 8)) AS head_rev
+            FROM documents
+        """,
+        "q5_local_supply": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "j1_keyed_merge": """
             SELECT coalesce(c.c_custkey, e.user_id) AS key, c.c_name,

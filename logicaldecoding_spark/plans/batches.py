@@ -34,17 +34,36 @@ class BatchPlan:
     lsn_from: int  # exclusive
     lsn_to: int  # inclusive
     change: tuple[str, str, str] | None = None  # (kind, column, type) for 'schema'
+    # eager (folded-forward) schema plans must NOT advance the table
+    # watermark: they commit before their surrounding data has been applied,
+    # and a crash between the two must leave the data replayable.
+    advance_watermark: bool = True
 
 
 def plan_batches(
     raw: DataFrame, target_data_batches: int = 1, parse_mode: str = "native",
-    source_table: str | None = None,
+    source_table: str | None = None, eager_evolution: bool = True,
 ) -> list[BatchPlan]:
     """Plan the replay over a raw (lsn, payload) log scan.
 
     ``source_table`` routes schema-change events in a multi-table log: R
     events naming another table are ignored (an R with no table field is
-    table-agnostic and always applies)."""
+    table-agnostic and always applies).
+
+    ``eager_evolution`` (default) folds all schema changes FORWARD: every R
+    is applied to table metadata first (in LSN order, without advancing the
+    watermark), then the data replays as one un-split range.  Sound because
+    the supported evolutions (add_column, widen_type) are forward-
+    compatible — an event from before the change applied under the post-
+    change schema produces exactly the NULL-fill / upcast that read-time
+    reconciliation would produce for a row written before the change — and
+    because producers emit a column's values only after its relation
+    message (pgoutput's contract), so no pre-R event carries the new
+    column.  This removes the per-evolution epoch barriers: a log with K
+    schema changes replays in K metadata no-ops + the planned data batches
+    instead of K extra tiny data epochs.  ``eager_evolution=False`` keeps
+    the strict epoch-split order (the two modes are asserted convergent in
+    tests)."""
     bounds = raw.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
     ).collect()[0]
@@ -67,6 +86,21 @@ def plan_batches(
     r_rows.sort(key=lambda r: r["lsn"])
 
     plans: list[BatchPlan] = []
+    if eager_evolution:
+        for r in r_rows:
+            ch = r["schema_change"]
+            plans.append(
+                BatchPlan(
+                    "schema", int(r["lsn"]) - 2, min(int(r["lsn"]) + 1, max_lsn),
+                    (ch["kind"], ch["column"], ch["type"]),
+                    advance_watermark=False,
+                )
+            )
+        plans.extend(
+            _split_data_epoch(raw, 0, max_lsn, target_data_batches, parse_mode)
+        )
+        return plans
+
     prev = 0  # exclusive lower bound
     for r in r_rows:
         r_lsn = int(r["lsn"])

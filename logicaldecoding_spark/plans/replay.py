@@ -99,7 +99,10 @@ def apply_plans(
             break
         if b.kind == "schema":
             kind, column, type_name = b.change
-            table.evolve_schema(kind, column, type_name, applied_upto_lsn=b.lsn_to)
+            table.evolve_schema(
+                kind, column, type_name,
+                applied_upto_lsn=b.lsn_to if b.advance_watermark else None,
+            )
             batch_metrics.append(
                 {"batch": i, "kind": "schema", "change": list(b.change), "upto": b.lsn_to}
             )
@@ -110,12 +113,15 @@ def apply_plans(
         raw = raw_provider(b.lsn_from, b.lsn_to)
         schema = table.schema  # current-at-epoch schema
 
-        # ONE narrow pass over the batch: native parse pruned to
-        # (lsn, txid, seq, op, pk), cached (~60B/row — unlike full
-        # after-images this is cheap to cache).  From it: aborted txids
-        # (BEGIN w/o COMMIT), the distinct-key estimate steering the
-        # slim/full choice, and (slim path) per-key winner lsns.
-        p = parse_events(raw, mode="native")
+        # ONE narrow pass over the batch: pk-only struct parse pruned to
+        # (lsn, txid, seq, op, pk) — never materializes large payload values
+        # (parse_slim) — cached (~60B/row: unlike full after-images this is
+        # cheap to cache).  From it: aborted txids (BEGIN w/o COMMIT), the
+        # distinct-key estimate steering the slim/full choice, and (slim
+        # path) per-key winner lsns.
+        from ..sources.parse import parse_slim
+
+        p = parse_slim(raw, pk, mode=parse_mode)
         if source_table is not None:
             # multi-table routing (RowMessage.table, reference
             # src/pg_logicaldec.proto:46): foreign tables' data events are
@@ -126,14 +132,7 @@ def apply_plans(
                 ~F.col("op").isin("I", "U", "D")
                 | (F.col("table") == F.lit(source_table))
             )
-        pk_cols = [
-            F.coalesce(
-                F.try_element_at("new_tuple", F.lit(c)),
-                F.try_element_at("old_tuple", F.lit(c)),
-            ).alias(c)
-            for c in pk
-        ]
-        slim_all = p.select("lsn", "txid", "seq", "op", *pk_cols).persist()
+        slim_all = p.select("lsn", "txid", "seq", "op", *pk).persist()
         markers = slim_all.filter(F.col("op").isin("B", "C"))
         aborted = (
             markers.groupBy("txid")
@@ -234,6 +233,7 @@ def replay(
     compaction: str = "auto",
     max_broadcast_keys: int = 20_000_000,
     source_table: str | None = None,
+    eager_evolution: bool = True,
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
@@ -253,7 +253,8 @@ def replay(
 
     raw_all = read_wal_log(spark, log_path)
     plans = plan_batches(raw_all, target_data_batches=n_data_batches,
-                         parse_mode="native", source_table=source_table)
+                         parse_mode="native", source_table=source_table,
+                         eager_evolution=eager_evolution)
 
     metrics = apply_plans(
         spark,

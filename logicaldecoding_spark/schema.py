@@ -145,8 +145,13 @@ class TableSchema:
 
     # -- evolution ----------------------------------------------------------
     def add_column(self, name: str, type_name: str) -> "TableSchema":
-        if any(f.name == name for f in self.fields):
-            raise ValueError(f"column {name!r} already exists")
+        for f in self.fields:
+            if f.name == name:
+                # idempotent re-apply (crash-resume): the column exists at
+                # the requested type, or at a type it was later widened to
+                if f.type == type_name or WIDENINGS.get((type_name, f.type)):
+                    return self
+                raise ValueError(f"column {name!r} already exists")
         if type_name not in _SPARK_TYPES:
             raise ValueError(f"unknown type {type_name!r}")
         next_id = max(f.id for f in self.fields) + 1 if self.fields else 1
@@ -162,7 +167,7 @@ class TableSchema:
             if f.name == name:
                 found = True
                 if f.type == to_type:
-                    out.append(f)  # idempotent widen
+                    return self  # idempotent re-apply (crash-resume)
                 elif WIDENINGS.get((f.type, to_type)):
                     out.append(Field(f.id, f.name, to_type, f.nullable))
                 else:

@@ -212,6 +212,144 @@ def _parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         yield out
 
 
+def _slim_arrow_gen(pk: tuple[str, ...]):
+    """Build the mapInArrow generator for the arrow-mode slim parse."""
+    import pyarrow.compute as pc
+    import pyarrow.json as paj
+
+    tuple_t = pa.struct([pa.field(c, pa.string()) for c in pk])
+    explicit = pa.schema(
+        [
+            ("txid", pa.int64()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            ("new", tuple_t),
+            ("old", tuple_t),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("txid", pa.int64()),
+            ("seq", pa.int32()),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            *[(c, pa.string()) for c in pk],
+        ]
+    )
+
+    def gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            payloads = batch.column(batch.schema.get_field_index("payload"))
+            if isinstance(payloads, pa.ChunkedArray):
+                payloads = payloads.combine_chunks()
+            lst = pa.ListArray.from_arrays(pa.array([0, n], pa.int32()), payloads)
+            joined = pc.binary_join(lst, "\n")
+            try:
+                reader = pa.BufferReader(joined[0].as_buffer())
+            except AttributeError:
+                reader = io.BytesIO(joined[0].as_py().encode("utf-8"))
+            tbl = paj.read_json(
+                reader,
+                read_options=paj.ReadOptions(use_threads=False, block_size=1 << 24),
+                parse_options=paj.ParseOptions(
+                    explicit_schema=explicit,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            new_c = tbl.column("new").combine_chunks()
+            old_c = tbl.column("old").combine_chunks()
+            pk_cols = [
+                pc.coalesce(
+                    pc.struct_field(new_c, c), pc.struct_field(old_c, c)
+                )
+                for c in pk
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("lsn")),
+                    tbl.column("txid").combine_chunks(),
+                    tbl.column("seq").combine_chunks().cast(pa.int32()),
+                    tbl.column("op").combine_chunks(),
+                    tbl.column("table").combine_chunks(),
+                    *pk_cols,
+                ],
+                schema=out_schema,
+            )
+
+    return gen, out_schema
+
+
+def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
+               ) -> DataFrame:
+    """Narrow parse for the slim compaction pass: (lsn, txid, seq, op, *pk).
+
+    ``new``/``old`` are parsed as STRUCTS containing only the pk fields —
+    unlike the full map parse, the reader then never materializes the
+    payload's large values (``content`` et al.), it only lexes past them.
+    Catalyst cannot prune a MapType parse (map semantics require all keys),
+    so the reduced schema is built explicitly here.  B/C markers carry no
+    tuples and fold to NULL pk columns, exactly as with the map parse.
+
+    ``mode='arrow'`` routes the narrow pass through pyarrow's C++ JSON
+    reader (one batch = one parse, explicit pruned schema, unexpected
+    fields ignored); ``'native'`` stays JVM-side via from_json."""
+    if mode == "arrow":
+        gen, out_schema = _slim_arrow_gen(pk)
+        spark_out = T.StructType(
+            [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("txid", T.LongType()),
+                T.StructField("seq", T.IntegerType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("table", T.StringType()),
+                *[T.StructField(c, T.StringType()) for c in pk],
+            ]
+        )
+        return raw.select("lsn", "payload").mapInArrow(gen, schema=spark_out)
+    tuple_t = T.StructType([T.StructField(c, T.StringType()) for c in pk])
+    sch = T.StructType(
+        [
+            T.StructField("txid", T.LongType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("new", tuple_t),
+            T.StructField("old", tuple_t),
+        ]
+    )
+    # two-step projection: the from_json runs ONCE per row (referencing the
+    # parse result >1x in a single select would re-inline — and re-parse —
+    # it per referencing expression)
+    parsed = raw.select("lsn", F.from_json("payload", sch).alias("j"))
+    return parsed.select(
+        "lsn",
+        F.col("j.txid").alias("txid"),
+        F.col("j.seq").alias("seq"),
+        F.col("j.op").alias("op"),
+        F.col("j.table").alias("table"),
+        *[
+            F.coalesce(F.col(f"j.new.{c}"), F.col(f"j.old.{c}")).alias(c)
+            for c in pk
+        ],
+    )
+
+
+def parse_markers(raw: DataFrame) -> DataFrame:
+    """Minimal parse for txn classification: (lsn, txid, op) only."""
+    sch = T.StructType(
+        [T.StructField("txid", T.LongType()), T.StructField("op", T.StringType())]
+    )
+    parsed = raw.select("lsn", F.from_json("payload", sch).alias("j"))
+    return parsed.select(
+        "lsn", F.col("j.txid").alias("txid"), F.col("j.op").alias("op")
+    )
+
+
 def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
     """(lsn, payload) -> (lsn, txid, seq, commit_time_us, op, table,
     new_tuple, old_tuple, schema_change)."""

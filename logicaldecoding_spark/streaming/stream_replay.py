@@ -47,7 +47,6 @@ from pyspark.sql import types as T
 from ..plans.batches import plan_batches
 from ..plans.replay import apply_plans, ensure_table
 from ..schema import OP_COMMIT, REPOS_PK, TableSchema
-from ..sources.parse import parse_events
 from ..table.fileio import LocalFileIO
 
 # minimal on-disk schema the streaming source needs (lsn + payload; other
@@ -71,9 +70,11 @@ def _classify_txns(combined: DataFrame) -> DataFrame:
     """Tag each event's txid as committed / open (pending) / aborted.
 
     Returns a (txid, status) frame, status in {'committed','open','aborted'}.
-    Narrow native parse only — no full-tuple work.
+    Minimal (lsn, txid, op) parse only — no tuple work at all.
     """
-    p = parse_events(combined, mode="native").select("lsn", "txid", "op")
+    from ..sources.parse import parse_markers
+
+    p = parse_markers(combined)
     per_txn = p.groupBy("txid").agg(
         F.max(F.col("op") == OP_COMMIT).alias("has_commit"),
         F.max("lsn").alias("max_lsn"),

@@ -54,6 +54,13 @@ class FileIO:
     def remove_tree(self, path: str) -> None:
         raise NotImplementedError
 
+    def remove_file(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list_files(self, root: str) -> list[str]:
+        """All file paths under ``root`` (recursive), relative to it."""
+        raise NotImplementedError
+
     def parquet_metadata(self, path: str):
         """Parquet footer metadata (pyarrow) — for manifest stats harvest."""
         raise NotImplementedError
@@ -108,6 +115,19 @@ class LocalFileIO(FileIO):
 
     def remove_tree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
+
+    def remove_file(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def list_files(self, root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                out.append(os.path.relpath(os.path.join(dirpath, fn), root))
+        return sorted(out)
 
     def parquet_metadata(self, path: str):
         import pyarrow.parquet as pq

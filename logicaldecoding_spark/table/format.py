@@ -179,12 +179,23 @@ class LakeTable:
     def applied_upto_lsn(self) -> int:
         return self.metadata(refresh=False)["snapshot"]["applied_upto_lsn"]
 
-    def history(self) -> list[dict]:
-        """Snapshot lineage, oldest first: one entry per committed version
-        (the time-travel index; any vN.metadata.json remains readable)."""
+    def _all_versions(self) -> list[int]:
+        """Retained metadata versions on disk (early ones may be expired)."""
         out = []
-        v = 0
-        while self.io.exists(self._meta_path(v)):
+        for entry in self.io.listdir(self._meta_dir):
+            if entry.startswith("v") and entry.endswith(".metadata.json"):
+                try:
+                    out.append(int(entry[1:].split(".", 1)[0]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def history(self) -> list[dict]:
+        """Snapshot lineage, oldest retained first: one entry per committed
+        version (the time-travel index; any retained vN.metadata.json remains
+        readable; expired versions drop out)."""
+        out = []
+        for v in self._all_versions():
             m = json.loads(self.io.read_text(self._meta_path(v)))
             s = m["snapshot"]
             out.append(
@@ -199,7 +210,6 @@ class LakeTable:
                     "metrics": s.get("metrics", {}),
                 }
             )
-            v += 1
         return out
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
@@ -283,7 +293,10 @@ class LakeTable:
         yet in the metadata).  Idempotent per LSN watermark.
         """
         meta = self.metadata()
-        schema = TableSchema.from_json(meta["schema"]).apply_change(kind, column, type_name)
+        current = TableSchema.from_json(meta["schema"])
+        schema = current.apply_change(kind, column, type_name)
+        if schema is current:
+            return  # idempotent re-apply (crash-resume): no new snapshot
         new_meta = dict(meta)
         new_meta["version"] = meta["version"] + 1
         new_meta["schema"] = schema.to_json()
@@ -394,3 +407,78 @@ class LakeTable:
         with ThreadPoolExecutor(max_workers=32) as ex:
             new_files = list(ex.map(harvest, written))
         return new_files
+
+    # ---------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+        """Drop metadata of old snapshots, keeping the newest ``keep_last``
+        (always including the current).  Time travel to expired versions
+        stops working; data files still referenced by retained snapshots are
+        untouched (run remove_orphan_files afterwards to reclaim space) —
+        the Iceberg expire_snapshots maintenance op."""
+        cur = self.version
+        keep = {v for v in self._all_versions() if v > cur - keep_last} | {cur}
+        expired = [v for v in self._all_versions() if v not in keep]
+        for v in expired:
+            self.io.remove_file(self._meta_path(v))
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (failed
+        writes, expired history).  Must not run concurrently with an active
+        writer — an in-flight batch directory is not yet referenced (same
+        caveat as Iceberg's remove_orphan_files grace period)."""
+        referenced: set[str] = set()
+        for v in self._all_versions():
+            m = json.loads(self.io.read_text(self._meta_path(v)))
+            for f in m["snapshot"]["manifest"]:
+                referenced.add(f["path"])
+        removed = []
+        for rel in self.io.list_files(self._data_dir):
+            rel_from_table = os.path.join("data", rel)
+            if rel_from_table not in referenced:
+                self.io.remove_file(os.path.join(self.path, rel_from_table))
+                removed.append(rel_from_table)
+        return removed
+
+    # ------------------------------------------------------------ changelog
+    def read_changes(
+        self, spark: SparkSession, from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """CDC-out: the row-level changelog between two snapshots (the Delta
+        CDF / Iceberg changelog-scan analog), derived from the lineage
+        watermark instead of stored diffs:
+
+        * insert — key absent at from_version, present at to_version
+        * update — key present in both, ``_last_lsn`` advanced
+        * delete — key present at from_version, absent at to_version
+          (emitted with the OLD row image)
+
+        Both sides prune to manifests of their snapshots; the join is keyed
+        on the primary key.
+        """
+        meta_from = json.loads(self.io.read_text(self._meta_path(from_version)))
+        wm = int(meta_from["snapshot"]["applied_upto_lsn"])
+        old = self.read(spark, _meta_override=meta_from)
+        new = (
+            self.read(spark) if to_version is None
+            else self.read_version(spark, to_version)
+        )
+        pk = list(self.pk)
+
+        old_keys = old.select(*pk, F.lit(True).alias("_existed"))
+        upserts = (
+            new.filter(F.col("_last_lsn") > F.lit(wm))
+            .join(old_keys, on=pk, how="left")
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_existed").isNotNull(), F.lit("update"))
+                .otherwise(F.lit("insert")),
+            )
+            .drop("_existed")
+        )
+        deletes = (
+            old.join(new.select(*pk), on=pk, how="left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        return upserts.unionByName(deletes)

@@ -34,7 +34,7 @@ def evo_log(tmp_path_factory):
 def test_plan_isolates_schema_batches(spark, evo_log):
     path, stats = evo_log
     raw = spark.read.parquet(path).select("lsn", "payload")
-    plans = plan_batches(raw, target_data_batches=2)
+    plans = plan_batches(raw, target_data_batches=2, eager_evolution=False)
     kinds = [p.kind for p in plans]
     assert kinds.count("schema") == 3
     # plans tile the lsn space contiguously and in order
@@ -46,6 +46,19 @@ def test_plan_isolates_schema_batches(spark, evo_log):
     changes = [p.change for p in plans if p.kind == "schema"]
     assert ("add_column", "size", "int") in changes
     assert ("widen_type", "size", "long") in changes
+
+
+def test_plan_eager_evolution_folds_forward(spark, evo_log):
+    path, stats = evo_log
+    raw = spark.read.parquet(path).select("lsn", "payload")
+    plans = plan_batches(raw, target_data_batches=2, eager_evolution=True)
+    # all schema plans first, none advancing the watermark; data un-split
+    # by evolution barriers
+    kinds = [p.kind for p in plans]
+    assert kinds == ["schema"] * 3 + ["data"] * 2
+    assert all(not p.advance_watermark for p in plans if p.kind == "schema")
+    data = [p for p in plans if p.kind == "data"]
+    assert data[0].lsn_from == 0 and data[-1].lsn_to == stats["max_lsn"]
 
 
 def test_evolution_replay_converges_and_widens(spark, evo_log, tmp_path):
@@ -72,7 +85,9 @@ def test_resume_after_crash_each_cut_point(spark, evo_log, tmp_path):
     path, _ = evo_log
     oracle_state, _ = replay_oracle(path)
     raw = spark.read.parquet(path).select("lsn", "payload")
-    n_plans = len(plan_batches(raw, target_data_batches=2))
+    plans = plan_batches(raw, target_data_batches=2)
+    n_plans = len(plans)
+    n_schema = sum(1 for p in plans if p.kind == "schema")
     for k in (1, 3, n_plans - 1):
         table_path = str(tmp_path / f"t{k}")
         r1 = replay(spark, path, table_path, parse_mode="native", n_buckets=4,
@@ -80,5 +95,14 @@ def test_resume_after_crash_each_cut_point(spark, evo_log, tmp_path):
         assert r1["batches_applied"] == k
         r2 = replay(spark, path, table_path, parse_mode="native", n_buckets=4,
                     n_data_batches=2, resume=True)
-        assert r2["batches_applied"] == n_plans - k
+        # eager schema plans don't advance the watermark, so a resume
+        # re-walks them as idempotent metadata no-ops; only DATA batches
+        # below the watermark are skipped outright
+        assert n_plans - k <= r2["batches_applied"] <= n_plans - k + n_schema
         assert_converged(spark, table_path, oracle_state)
+        # and a third run is a pure no-op on data (exactly-once)
+        r3 = replay(spark, path, table_path, parse_mode="native", n_buckets=4,
+                    n_data_batches=2, resume=True)
+        assert all(b["kind"] == "schema" for b in r3["batches"]
+                   if b.get("rows_written") is None)
+        assert sum(b.get("rows_written") or 0 for b in r3["batches"]) == 0

@@ -152,3 +152,24 @@ def test_multi_table_log_routes_to_target_table(spark, small_log, tmp_path):
         source_table="repos",
     )
     assert_converged(spark, table_path, oracle_state)
+
+
+def test_eager_vs_epoch_split_evolution_converge(spark, small_log, small_oracle, tmp_path):
+    """Folding schema changes forward (eager_evolution, the default) must
+    produce the exact state the strict epoch-split order produces: add/widen
+    are forward-compatible, so pre-change events applied under the
+    post-change schema equal read-time reconciliation of rows written
+    before the change."""
+    log_path, _ = small_log
+    oracle_state, _ = small_oracle
+    eager = str(tmp_path / "t_eager")
+    strict = str(tmp_path / "t_strict")
+    run_e = replay(spark, log_path, eager, parse_mode="native", n_buckets=8,
+                   eager_evolution=True)
+    run_s = replay(spark, log_path, strict, parse_mode="native", n_buckets=8,
+                   eager_evolution=False)
+    # eager plans fewer data batches (no per-evolution epoch barriers)
+    n_data = lambda r: sum(1 for b in r["batches"] if b["kind"] == "data")
+    assert n_data(run_e) < n_data(run_s)
+    assert_converged(spark, eager, oracle_state)
+    assert_converged(spark, strict, oracle_state)

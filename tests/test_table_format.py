@@ -51,7 +51,11 @@ def test_illegal_widen_rejected(tmp_path):
     with pytest.raises(ValueError):
         t.evolve_schema("widen_type", "commit", "long")  # string -> long: no
     with pytest.raises(ValueError):
-        t.evolve_schema("add_column", "repo", "string")  # duplicate
+        t.evolve_schema("add_column", "repo", "long")  # conflicting type
+    # same-name same-type re-add is an idempotent no-op (crash-resume)
+    v = t.version
+    t.evolve_schema("add_column", "repo", "string")
+    assert t.version == v
 
 
 def test_old_snapshot_survives_torn_commit(spark, tmp_path):

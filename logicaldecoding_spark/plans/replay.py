@@ -59,11 +59,13 @@ def apply_plans(
     plans: list[BatchPlan],
     raw_provider: Callable[[int | None, int | None], DataFrame],
     *,
-    parse_mode: str = "arrow",
+    parse_mode: str = "duckdb",
+    slim_mode: str = "duckdb",
     salt_buckets: int | None = None,
     compaction: str = "auto",
     max_broadcast_keys: int = 20_000_000,
     source_table: str | None = None,
+    slim_provider: Callable[[int | None, int | None], DataFrame] | None = None,
     stop_after_batches: int | None = None,
     batch_id_offset: int = 0,
 ) -> list[dict]:
@@ -121,7 +123,12 @@ def apply_plans(
         # path) per-key winner lsns.
         from ..sources.parse import parse_slim
 
-        p = parse_slim(raw, pk, mode=parse_mode)
+        if slim_provider is not None:
+            # fragment-direct scan: Python workers read the log's Parquet
+            # row groups themselves — no JVM->Python payload transfer
+            p = slim_provider(b.lsn_from, b.lsn_to)
+        else:
+            p = parse_slim(raw, pk, mode=slim_mode)
         if source_table is not None:
             # multi-table routing (RowMessage.table, reference
             # src/pg_logicaldec.proto:46): foreign tables' data events are
@@ -141,27 +148,30 @@ def apply_plans(
             .select("txid")
             .persist()
         )
-        # ONE single-stage agg pass (no shuffle, no union of independent
-        # subtrees — a union would materialize slim_all's cache twice
-        # concurrently): distinct-key estimate for the slim/full choice and
-        # an aborted-txn estimate (#BEGINs - #COMMITs; every txn BEGINs) for
-        # the anti-join's broadcast-viability guard.  Both steer plan choice
-        # only — approximation is fine, exactness is not required.
+        # Two-tier stats, one cheap single-stage agg first (materializes the
+        # cache): exact event/BEGIN/COMMIT counts.  n_aborted = #B - #C is
+        # EXACT (every txn begins once, committed ones commit once).  The
+        # distinct-key HLL estimate is only computed — over the now-warm
+        # cache — when the event count alone can't prove broadcast
+        # viability (keys <= events, so small batches skip the HLL pass
+        # entirely).
         t_stats0 = time.time()
         is_data = F.col("op").isin("I", "U", "D")
         st = slim_all.agg(
-            F.approx_count_distinct(
-                F.when(is_data, F.struct(*pk))
-            ).alias("keys"),
-            F.approx_count_distinct(
-                F.when(F.col("op") == "B", F.col("txid"))
-            ).alias("b"),
-            F.approx_count_distinct(
-                F.when(F.col("op") == "C", F.col("txid"))
-            ).alias("c"),
+            F.count(F.when(is_data, True)).alias("events"),
+            F.count(F.when(F.col("op") == "B", True)).alias("b"),
+            F.count(F.when(F.col("op") == "C", True)).alias("c"),
         ).collect()[0]
-        est_keys = int(st["keys"])
+        n_events = int(st["events"])
         n_aborted = max(0, int(st["b"]) - int(st["c"]))
+        if n_events <= max_broadcast_keys:
+            est_keys = n_events  # upper bound is already viable
+        else:
+            est_keys = int(
+                slim_all.filter(is_data)
+                .agg(F.approx_count_distinct(F.struct(*pk)).alias("k"))
+                .collect()[0]["k"]
+            )
         t_stats = time.time() - t_stats0
 
         abort_join = F.broadcast(aborted) if n_aborted <= max_broadcast_keys \
@@ -227,13 +237,15 @@ def replay(
     initial_schema: TableSchema | None = None,
     pk: tuple[str, ...] = REPOS_PK,
     n_buckets: int = 64,
-    parse_mode: str = "arrow",
+    parse_mode: str = "duckdb",
     n_data_batches: int = 1,
     salt_buckets: int | None = None,
     compaction: str = "auto",
     max_broadcast_keys: int = 20_000_000,
     source_table: str | None = None,
     eager_evolution: bool = True,
+    slim_mode: str = "duckdb",
+    direct_slim_scan: bool = False,
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
@@ -256,12 +268,22 @@ def replay(
                          parse_mode="native", source_table=source_table,
                          eager_evolution=eager_evolution)
 
+    slim_provider = None
+    if direct_slim_scan:
+        from ..sources.parse import parse_slim_direct
+
+        slim_provider = lambda lo, hi: parse_slim_direct(  # noqa: E731
+            spark, log_path, table.pk, lsn_from=lo, lsn_to=hi
+        )
+
     metrics = apply_plans(
         spark,
         table,
         plans,
         lambda lo, hi: read_wal_log(spark, log_path, lsn_from=lo, lsn_to=hi),
+        slim_provider=slim_provider,
         parse_mode=parse_mode,
+        slim_mode=slim_mode,
         salt_buckets=salt_buckets,
         compaction=compaction,
         max_broadcast_keys=max_broadcast_keys,

@@ -212,6 +212,105 @@ def _parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
         yield out
 
 
+_DUCKDB_FULL_SCHEMA = (
+    '{"txid":"BIGINT","seq":"INTEGER","ct":"BIGINT","op":"VARCHAR",'
+    '"table":"VARCHAR","new":"MAP(VARCHAR,VARCHAR)","old":"MAP(VARCHAR,VARCHAR)",'
+    '"change":{"kind":"VARCHAR","column":"VARCHAR","type":"VARCHAR"}}'
+)
+
+
+_DUCKDB_CHUNK_ROWS = 262_144  # amortize per-call SQL/registration overhead
+
+
+def _chunked(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Table]:
+    """Coalesce the task's incoming Arrow batches into ~256k-row tables:
+    Spark hands mapInArrow small batches (maxRecordsPerBatch), and a DuckDB
+    round-trip per small batch is overhead-bound."""
+    buf: list[pa.RecordBatch] = []
+    rows = 0
+    for b in batches:
+        if b.num_rows == 0:
+            continue
+        buf.append(b)
+        rows += b.num_rows
+        if rows >= _DUCKDB_CHUNK_ROWS:
+            yield pa.Table.from_batches(buf)
+            buf, rows = [], 0
+    if buf:
+        yield pa.Table.from_batches(buf)
+
+
+def _duckdb_full_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Full parse via DuckDB's yyjson-based ``json_transform`` — one SQL
+    statement transforms ~256k rows at a time (~2x pyarrow's JSON reader on
+    this wire).  Single-threaded: one Spark task == one core.
+
+    Semantics match the pyarrow path: absent JSON key -> absent map entry
+    (datum_missing), absent object -> NULL map, lenient typing -> NULL.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+    for at in _chunked(batches):
+        con.register("_b", at)
+        res = con.execute(
+            f"""
+            SELECT lsn, j.txid, j.seq, j.ct AS commit_time_us, j.op,
+                   j."table", j.new AS new_tuple, j.old AS old_tuple,
+                   j.change AS schema_change
+            FROM (SELECT lsn,
+                         json_transform(payload, '{_DUCKDB_FULL_SCHEMA}') AS j
+                  FROM _b)
+            """
+        ).arrow()
+        con.unregister("_b")
+        res = res.cast(_OUT_ARROW_SCHEMA)
+        yield from res.to_batches()
+
+
+def _slim_duckdb_gen(pk: tuple[str, ...]):
+    """mapInArrow generator: slim parse via DuckDB json_transform."""
+    fields = ",".join(f'"{c}":"VARCHAR"' for c in pk)
+    schema = (
+        '{"txid":"BIGINT","seq":"INTEGER","op":"VARCHAR","table":"VARCHAR",'
+        f'"new":{{{fields}}},"old":{{{fields}}}}}'
+    )
+    pk_sel = ",".join(
+        f'coalesce(j.new."{c}", j.old."{c}") AS "{c}"' for c in pk
+    )
+    out_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("txid", pa.int64()),
+            ("seq", pa.int32()),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            *[(c, pa.string()) for c in pk],
+        ]
+    )
+
+    def gen(batches):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        for at in _chunked(batches):
+            con.register("_b", at)
+            res = con.execute(
+                f"""
+                SELECT lsn, j.txid, j.seq, j.op, j."table", {pk_sel}
+                FROM (SELECT lsn, json_transform(payload, '{schema}') AS j
+                      FROM _b)
+                """
+            ).arrow()
+            con.unregister("_b")
+            res = res.cast(out_schema)
+            yield from res.to_batches()
+
+    return gen, out_schema
+
+
 def _slim_arrow_gen(pk: tuple[str, ...]):
     """Build the mapInArrow generator for the arrow-mode slim parse."""
     import pyarrow.compute as pc
@@ -284,6 +383,101 @@ def _slim_arrow_gen(pk: tuple[str, ...]):
     return gen, out_schema
 
 
+def parse_slim_direct(
+    spark,
+    log_path: str,
+    pk: tuple[str, ...],
+    lsn_from: int | None = None,
+    lsn_to: int | None = None,
+) -> DataFrame:
+    """Slim parse reading log fragments DIRECTLY in Python workers.
+
+    The JVM-scan slim paths ship the entire payload column from the JVM to
+    Python workers over Arrow IPC before parsing — at bench scale that
+    transfer, not the JSON parse, is the floor.  Here the driver prunes
+    (file, row_group) fragments by LSN statistics (sources/wal_log.py) and
+    distributes ONE FRAGMENT PER TASK; each Python worker reads its row
+    group from Parquet itself (pyarrow) and parses it with DuckDB's yyjson
+    ``json_transform`` — payload bytes go parquet -> Python directly.  This
+    is the Python-data-source pattern (Spark 4's Python DataSource API
+    formalizes it); partition pruning and parallelism match what the JVM
+    scan would do (row-group granularity).
+    """
+    from .wal_log import log_fragments
+
+    frags = log_fragments(log_path, lsn_from, lsn_to)
+    fields = ",".join(f'"{c}":"VARCHAR"' for c in pk)
+    schema = (
+        '{"txid":"BIGINT","seq":"INTEGER","op":"VARCHAR","table":"VARCHAR",'
+        f'"new":{{{fields}}},"old":{{{fields}}}}}'
+    )
+    pk_sel = ",".join(f'coalesce(j.new."{c}", j.old."{c}") AS "{c}"' for c in pk)
+    out_schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("txid", pa.int64()),
+            ("seq", pa.int32()),
+            ("op", pa.string()),
+            ("table", pa.string()),
+            *[(c, pa.string()) for c in pk],
+        ]
+    )
+    spark_out = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("txid", T.LongType()),
+            T.StructField("seq", T.IntegerType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("table", T.StringType()),
+            *[T.StructField(c, T.StringType()) for c in pk],
+        ]
+    )
+    lo, hi = lsn_from, lsn_to
+
+    def gen(batches):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        for batch in batches:
+            paths = batch.column(0).to_pylist()
+            rgs = batch.column(1).to_pylist()
+            for path, rg in zip(paths, rgs):
+                t = pq.ParquetFile(path).read_row_group(
+                    rg, columns=["lsn", "payload"]
+                )
+                lsn = t.column("lsn")
+                mask = None
+                if lo is not None:
+                    mask = _pc.greater(lsn, lo)
+                if hi is not None:
+                    m2 = _pc.less_equal(lsn, hi)
+                    mask = m2 if mask is None else _pc.and_(mask, m2)
+                if mask is not None:
+                    t = t.filter(mask)
+                if t.num_rows == 0:
+                    continue
+                con.register("_b", t)
+                res = con.execute(
+                    f"""
+                    SELECT lsn, j.txid, j.seq, j.op, j."table", {pk_sel}
+                    FROM (SELECT lsn,
+                                 json_transform(payload, '{schema}') AS j
+                          FROM _b)
+                    """
+                ).arrow()
+                con.unregister("_b")
+                yield from res.cast(out_schema).to_batches()
+
+    if not frags:
+        return spark.createDataFrame([], spark_out)
+    frag_df = spark.createDataFrame(
+        frags, "path string, rg int"
+    ).repartition(len(frags))
+    return frag_df.mapInArrow(gen, schema=spark_out)
+
+
 def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
                ) -> DataFrame:
     """Narrow parse for the slim compaction pass: (lsn, txid, seq, op, *pk).
@@ -298,8 +492,10 @@ def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
     ``mode='arrow'`` routes the narrow pass through pyarrow's C++ JSON
     reader (one batch = one parse, explicit pruned schema, unexpected
     fields ignored); ``'native'`` stays JVM-side via from_json."""
-    if mode == "arrow":
-        gen, out_schema = _slim_arrow_gen(pk)
+    if mode in ("arrow", "duckdb"):
+        gen, out_schema = (
+            _slim_arrow_gen(pk) if mode == "arrow" else _slim_duckdb_gen(pk)
+        )
         spark_out = T.StructType(
             [
                 T.StructField("lsn", T.LongType()),
@@ -356,6 +552,10 @@ def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
     if mode == "arrow":
         return raw.select("lsn", "payload").mapInArrow(
             _parse_batches, schema=_OUT_SPARK_SCHEMA
+        )
+    if mode == "duckdb":
+        return raw.select("lsn", "payload").mapInArrow(
+            _duckdb_full_batches, schema=_OUT_SPARK_SCHEMA
         )
     if mode == "native":
         return raw.select(

@@ -100,7 +100,7 @@ def stream_replay(
     initial_schema: TableSchema | None = None,
     pk: tuple[str, ...] = REPOS_PK,
     n_buckets: int = 64,
-    parse_mode: str = "arrow",
+    parse_mode: str = "duckdb",
     salt_buckets: int | None = None,
     max_files_per_trigger: int | None = None,
     keep_pending_epochs: int = 3,

@@ -23,11 +23,14 @@ def test_modes_agree_on_generated_log(spark, small_log):
     raw = spark.read.parquet(log_path).select("lsn", "payload")
     a = parse_events(raw, mode="arrow").orderBy("lsn")
     n = parse_events(raw, mode="native").orderBy("lsn")
+    d = parse_events(raw, mode="duckdb").orderBy("lsn")
     assert a.schema == n.schema
     ra, rn = a.collect(), n.collect()
     assert len(ra) == len(rn)
     for x, y in zip(ra, rn):
         assert x == y, f"arrow!=native at lsn {x['lsn']}: {x} vs {y}"
+    for x, z in zip(a.collect(), d.collect()):
+        assert x == z, f"arrow!=duckdb at lsn {x['lsn']}: {x} vs {z}"
 
 
 def test_crafted_events_all_shapes(spark):
@@ -61,7 +64,7 @@ def test_crafted_events_all_shapes(spark):
         ),
         json.dumps({"txid": 7, "seq": 0, "ct": 1, "op": "C"}),
     ]
-    for mode in ("arrow", "native"):
+    for mode in ("arrow", "native", "duckdb"):
         rows = (
             parse_events(_df_from_payloads(spark, payloads), mode=mode)
             .orderBy("lsn")
@@ -89,6 +92,6 @@ def test_unicode_and_escapes_roundtrip(spark):
             "new": {"repo": "r", "path": "p", "commit": "c", "content": content},
         }
     )
-    for mode in ("arrow", "native"):
+    for mode in ("arrow", "native", "duckdb"):
         row = parse_events(_df_from_payloads(spark, [p]), mode=mode).collect()[0]
         assert row["new_tuple"]["content"] == content, mode

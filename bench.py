@@ -91,7 +91,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    parse_mode = os.environ.get("BENCH_PARSE_MODE", "duckdb")
+    parse_mode = os.environ.get("BENCH_PARSE_MODE", "auto")
     sf = sf_of(sf_dir)
 
     log_path, stats = bench_log_path(sf)

@@ -22,7 +22,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", required=True)
     ap.add_argument("--table", required=True)
-    ap.add_argument("--parse-mode", default="duckdb")
+    ap.add_argument("--parse-mode", default="auto")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-data-batches", type=int, default=1)
     ap.add_argument("--salt", type=int, default=0)

@@ -84,16 +84,41 @@ def minhash_signatures(
         char_shingles(F.col(text_col), shingle_k),
         lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE),
     )
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("_xs"),
-                lambda x: (F.lit(int(a[i])) * x + F.lit(int(b[i]))) % F.lit(_MERSENNE),
-            )
-        ).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return docs.select(F.col(id_col), xs.alias("_xs")).select(id_col, *mins)
+    # shingle hashing stays JVM-side (one xxhash64 transform); all K minima
+    # come from ONE loop-free numpy pass per Arrow batch (pandas explode +
+    # np.minimum.reduceat segment minima, permutations processed in
+    # constant-size column chunks to bound memory).  K separate
+    # transform+array_min columns would compile K near-identical codegen
+    # bodies — seconds of driver-side compile time — and a nested
+    # higher-order expression falls off the codegen fast path entirely.
+    sig_udf = _minhash_sig_udf(a, b)
+    sigs = docs.select(F.col(id_col), xs.alias("_xs")).select(
+        id_col, sig_udf(F.col("_xs")).alias("_sig")
+    )
+    return sigs.select(
+        id_col, *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def _minhash_sig_udf(a: np.ndarray, b: np.ndarray):
+    k = len(a)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(xs_arrays: pd.Series) -> pd.Series:
+        lens = xs_arrays.str.len().fillna(0).astype(np.int64).to_numpy()
+        out = np.full((len(xs_arrays), k), _MERSENNE, dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = xs_arrays.explode().dropna().to_numpy().astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            rows = np.nonzero(nz)[0]
+            for lo in range(0, k, 16):  # constant perm-chunking, not per-row
+                hi = min(lo + 16, k)
+                y = (flat[:, None] * a[None, lo:hi] + b[None, lo:hi]) % _MERSENNE
+                out[rows, lo:hi] = np.minimum.reduceat(y, offs, axis=0)
+        return pd.Series(list(out))
+
+    return sig
 
 
 def lsh_candidate_pairs(

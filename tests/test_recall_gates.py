@@ -142,3 +142,20 @@ def test_embedding_lsh_equals_allpairs(emb):
         f"LSH missed {len(a - b)} pairs / invented {len(b - a)}; "
         f"first: {sorted(a ^ b)[:5]}"
     )
+
+
+def test_knn_ivf_recall_at_10(emb):
+    from logicaldecoding_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(emb, queries, dim=64, k=10,
+                         n_clusters=16, n_probes=10).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"knn_ivf recall@10 {recall:.3f} < 0.9"

@@ -536,8 +536,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t10_sessionize": """
             WITH g AS (
+                -- whole-second truncation matches Spark's ts->long cast
+                -- exactly (fractional epoch() could split a (1800,1801)-gap
+                -- session differently; ADVICE r2)
                 SELECT user_id, ts, event_id,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
                                 (PARTITION BY user_id ORDER BY ts, event_id)
                                 > 1800 OR lag(ts) OVER
                                 (PARTITION BY user_id ORDER BY ts, event_id)

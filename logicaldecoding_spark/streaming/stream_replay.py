@@ -31,9 +31,17 @@ to the micro-batch, and classifies every non-committed transaction:
 The sidecar write is keyed by epoch and the previous epoch's sidecar is
 retained, so a crashed-and-redelivered micro-batch recomputes byte-identical
 pending state (idempotent).  File arrival must be in LSN order (the file
-source sorts by name; name archive files monotonically): a file whose LSNs
-are entirely below the table watermark is detected and rejected loudly
-rather than silently skipped.
+source sorts by name; name archive files monotonically): two independent
+guards detect violations instead of silently losing data —
+
+* a file whose LSNs are entirely below the table watermark is rejected
+  loudly (the whole-file-late case);
+* each epoch's ABORTED txids are kept in a second sidecar for the retention
+  window; if a later epoch carries events for a txid previously classified
+  aborted, that txn was in fact still open and its earlier events were
+  dropped — partial-transaction application — so the query warns loudly
+  (or fails with ``strict_order=True``) instead of applying the tail alone
+  (ADVICE r2: the watermark guard alone misses this case).
 """
 
 from __future__ import annotations
@@ -118,6 +126,7 @@ def stream_replay(
     ensure_table(table_path, initial_schema, pk, n_buckets)
     io = LocalFileIO()
     pending_root = os.path.join(checkpoint_dir, "pending")
+    aborted_root = os.path.join(checkpoint_dir, "aborted")
 
     def _pending_path(epoch: int) -> str:
         return os.path.join(pending_root, f"epoch={epoch}")
@@ -134,6 +143,17 @@ def stream_replay(
                 if best < e < epoch:
                     best = e
         return _pending_path(best) if best >= 0 else None
+
+    def _aborted_paths_before(epoch: int) -> list[str]:
+        """All retained aborted-txid sidecars from earlier epochs."""
+        if not io.exists(aborted_root):
+            return []
+        return [
+            os.path.join(aborted_root, entry)
+            for entry in io.listdir(aborted_root)
+            if entry.startswith("epoch=")
+            and int(entry.split("=", 1)[1]) < epoch
+        ]
 
     def apply_micro_batch(df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
@@ -153,16 +173,47 @@ def stream_replay(
             tagged = combined.withColumn(
                 "txid", F.get_json_object("payload", "$.txid").cast("long")
             )
+
+            # aborted-revival guard: a txid classified aborted in an earlier
+            # epoch can never legally produce more events (WAL emits each txn
+            # as one contiguous block), so a hit here proves out-of-LSN-order
+            # file arrival — the earlier events were already dropped and
+            # applying this tail alone would be a partial transaction.
+            prev_aborted = _aborted_paths_before(epoch)
+            if prev_aborted:
+                ab = spark.read.schema("txid long").parquet(*prev_aborted)
+                revived = (
+                    tagged.join(F.broadcast(ab), "txid", "left_semi")
+                    .limit(1).count()
+                )
+                if revived:
+                    msg = (
+                        "events arrived for a transaction previously classified "
+                        "aborted: out-of-LSN-order file arrival — its earlier "
+                        "events were dropped (partial-transaction application); "
+                        "archive files must arrive in LSN order"
+                    )
+                    if strict_order:
+                        raise LateFileError(msg)
+                    import warnings
+
+                    warnings.warn(msg, stacklevel=2)
             pending = tagged.join(F.broadcast(open_txids), "txid", "left_semi")
             applyable = tagged.join(F.broadcast(open_txids), "txid", "left_anti")
 
-            # write this epoch's sidecar FIRST (deterministic recompute on
-            # redelivery: the previous epoch's sidecar is retained below)
+            # write this epoch's sidecars FIRST (deterministic recompute on
+            # redelivery: the previous epoch's sidecars are retained below)
             (
                 pending.select("lsn", "payload")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(_pending_path(epoch))
+            )
+            (
+                status.filter(F.col("status") == "aborted").select("txid")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(aborted_root, f"epoch={epoch}"))
             )
 
             batch = applyable.select("lsn", "payload")
@@ -204,12 +255,13 @@ def stream_replay(
                 )
             status.unpersist()
             # prune sidecars older than the retention window
-            if io.exists(pending_root):
-                for entry in io.listdir(pending_root):
-                    if entry.startswith("epoch="):
-                        e = int(entry.split("=", 1)[1])
-                        if e < epoch - keep_pending_epochs:
-                            io.remove_tree(os.path.join(pending_root, entry))
+            for root in (pending_root, aborted_root):
+                if io.exists(root):
+                    for entry in io.listdir(root):
+                        if entry.startswith("epoch="):
+                            e = int(entry.split("=", 1)[1])
+                            if e < epoch - keep_pending_epochs:
+                                io.remove_tree(os.path.join(root, entry))
         finally:
             combined.unpersist()
 

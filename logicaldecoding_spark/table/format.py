@@ -455,11 +455,28 @@ class LakeTable:
           (emitted with the OLD row image)
 
         Both sides prune to manifests of their snapshots; the join is keyed
-        on the primary key.
+        on the primary key.  The changelog is emitted under the TO-side
+        schema: if the schema evolved between the two versions, the old
+        snapshot is projected to it first (added columns NULL-filled, widened
+        types upcast — the same read-time reconciliation rule the per-file
+        scan applies), so deletes union cleanly with upserts.
         """
         meta_from = json.loads(self.io.read_text(self._meta_path(from_version)))
         wm = int(meta_from["snapshot"]["applied_upto_lsn"])
         old = self.read(spark, _meta_override=meta_from)
+        to_meta = (
+            self.metadata() if to_version is None
+            else json.loads(self.io.read_text(self._meta_path(to_version)))
+        )
+        to_schema = TableSchema.from_json(to_meta["schema"])
+        to_struct = to_schema.to_spark(with_lineage=True)
+        old_cols = set(old.columns)
+        proj = [
+            (F.col(f.name) if f.name in old_cols else F.lit(None))
+            .cast(to_struct[f.name].dataType).alias(f.name)
+            for f in to_schema.fields
+        ]
+        old = old.select(*proj, F.col("_last_lsn"), F.col("_last_txid"))
         new = (
             self.read(spark) if to_version is None
             else self.read_version(spark, to_version)

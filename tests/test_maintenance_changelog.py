@@ -89,3 +89,26 @@ def test_commit_after_expiry_continues_sequence(spark, table3):
     ]), applied_upto_lsn=12, batch_id=3)
     assert t.version == 4
     assert {r["path"] for r in t.read(spark).collect()} == {"a", "c", "d"}
+
+
+def test_changelog_across_schema_evolution(spark, table3):
+    """ADVICE r2: read_changes must not crash when the schema evolved between
+    from_version and the current snapshot — the old-snapshot side is
+    projected to the new schema (added column NULL-filled)."""
+    t = table3
+    t.evolve_schema("add_column", "stars", "long")
+    stars_df = spark.createDataFrame(
+        [("r", "a", "c5", "py", "x3", 7, "U", 11, 0, 4),
+         ("r", "d", "c6", "py", "w", 9, "I", 12, 0, 4)],
+        "repo string, path string, commit string, lang string, content string,"
+        " stars long, op string, lsn long, seq int, txid long",
+    )
+    merge_into(spark, t, stars_df, applied_upto_lsn=12, batch_id=3)
+
+    ch = {(r["path"], r["_change_type"]): r
+          for r in t.read_changes(spark, from_version=2).collect()}
+    assert set(ch) == {("a", "update"), ("d", "insert"), ("b", "delete")}
+    assert ch[("a", "update")]["stars"] == 7
+    # the delete row comes from the pre-evolution snapshot: NULL-filled
+    assert ch[("b", "delete")]["stars"] is None
+    assert ch[("b", "delete")]["commit"] == "c2"

@@ -124,3 +124,73 @@ def test_stream_replay_mid_txn_cuts_restart(spark, small_log, small_oracle, tmp_
     finally:
         q2.stop()
     assert_converged(spark, table_path, oracle_state)
+
+
+def _mini_log_file(path: str, rows: list[tuple[int, dict]], mtime: float) -> None:
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({
+        "lsn": pa.array([r[0] for r in rows], pa.int64()),
+        "payload": pa.array(
+            [json.dumps(r[1], separators=(",", ":")) for r in rows], pa.string()
+        ),
+    })
+    pq.write_table(tbl, path)
+    import os
+
+    os.utime(path, (mtime, mtime))
+
+
+def _ev(txid, op, lsn, seq=0, key=None):
+    pl = {"txid": txid, "seq": seq, "ct": 946_684_800_000_000, "op": op}
+    if op in ("I", "U", "D"):
+        pl["table"] = "repos"
+        pl["new"] = {"repo": "r", "path": key or f"p{lsn}",
+                     "commit": "c" * 40, "lang": "py", "content": "x"}
+    return (lsn, pl)
+
+
+def test_stream_rejects_out_of_order_aborted_revival(spark, tmp_path):
+    """ADVICE r2: a still-open txn misclassified 'aborted' because a LATER
+    file's commits arrived first must not have its tail applied alone when
+    its remaining events finally show up — strict mode fails the query."""
+    import os
+    import time
+
+    import pytest
+
+    log_dir = str(tmp_path / "log_dir")
+    os.makedirs(log_dir)
+    base = time.time() - 3600
+    # file 0: txn 1 complete; txn 2 OPEN (BEGIN + one event, no COMMIT)
+    _mini_log_file(os.path.join(log_dir, "log-00000.parquet"), [
+        _ev(1, "B", 1), _ev(1, "I", 2, key="a"), _ev(1, "C", 3),
+        _ev(2, "B", 4), _ev(2, "I", 5, key="b"),
+    ], base)
+    # file 1 arrives OUT OF ORDER (skips txn 2's tail): txn 3 commits at a
+    # higher LSN, which makes carried-over txn 2 look aborted
+    _mini_log_file(os.path.join(log_dir, "log-00001.parquet"), [
+        _ev(3, "B", 10), _ev(3, "I", 11, key="c"), _ev(3, "C", 12),
+    ], base + 1)
+    # file 2: txn 2's remaining events + COMMIT (below watermark) PLUS a new
+    # txn above the watermark — the whole-file-late guard cannot see this
+    _mini_log_file(os.path.join(log_dir, "log-00002.parquet"), [
+        _ev(2, "I", 6, seq=1, key="b2"), _ev(2, "C", 7),
+        _ev(4, "B", 20), _ev(4, "I", 21, key="d"), _ev(4, "C", 22),
+    ], base + 2)
+
+    q = stream_replay(
+        spark, log_dir, str(tmp_path / "t"), str(tmp_path / "ckpt"),
+        n_buckets=4, parse_mode="native", max_files_per_trigger=1,
+        strict_order=True,
+    )
+    try:
+        with pytest.raises(Exception, match="aborted|LSN order"):
+            q.processAllAvailable()
+            if q.exception() is not None:
+                raise q.exception()
+    finally:
+        q.stop()

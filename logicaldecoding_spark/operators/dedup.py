@@ -59,6 +59,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def shingle_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sh) — each document's distinct character-shingle set, computed
+    ONCE and shared by signature generation and exact-Jaccard verification
+    (shingling is the single most expensive text pass in the pipeline; the
+    round-2 shape recomputed it per consumer — a whole extra corpus scan)."""
+    return docs.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -66,6 +81,7 @@ def minhash_signatures(
     k: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """K-permutation MinHash signatures over character-shingle sets.
 
@@ -75,14 +91,18 @@ def minhash_signatures(
     permutations is array_min(transform(xs, x -> (a_i*x + b_i) mod p)) — a
     pure projection that stays inside whole-stage codegen.  At 100 TB this
     is a map-only stage; the earlier explode+groupBy version shuffled the
-    entire exploded shingle set (|corpus| * ~|doc| rows) for no reason."""
+    entire exploded shingle set (|corpus| * ~|doc| rows) for no reason.
+
+    Pass a pre-computed ``shingles`` frame (from :func:`shingle_docs`) to
+    share one shingle pass with the verify stage."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
 
+    if shingles is None:
+        shingles = shingle_docs(docs, text_col, id_col, shingle_k)
     xs = F.transform(
-        char_shingles(F.col(text_col), shingle_k),
-        lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE),
+        F.col("sh"), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE)
     )
     # shingle hashing stays JVM-side (one xxhash64 transform); all K minima
     # come from ONE loop-free numpy pass per Arrow batch (pandas explode +
@@ -92,7 +112,7 @@ def minhash_signatures(
     # bodies — seconds of driver-side compile time — and a nested
     # higher-order expression falls off the codegen fast path entirely.
     sig_udf = _minhash_sig_udf(a, b)
-    sigs = docs.select(F.col(id_col), xs.alias("_xs")).select(
+    sigs = shingles.select(F.col(id_col), xs.alias("_xs")).select(
         id_col, sig_udf(F.col("_xs")).alias("_sig")
     )
     return sigs.select(
@@ -173,10 +193,21 @@ def minhash_dedup_pairs(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard verify."""
-    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_k, seed)
+    """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard verify.
+
+    One shingle pass total: the (id, sh) frame is computed once, persisted
+    (spill-safe), and feeds BOTH the signature stage and the exact-Jaccard
+    verify joins — the round-2 shape shingled the corpus twice."""
+    from pyspark import StorageLevel
+
+    sh = shingle_docs(docs, text_col, id_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(docs, text_col, id_col, k, shingle_k, seed,
+                              shingles=sh)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    return ngram_jaccard_verify(docs, cands, text_col, id_col, threshold, shingle_k)
+    return ngram_jaccard_verify(docs, cands, text_col, id_col, threshold,
+                                shingle_k, shingles=sh)
 
 
 def ngram_jaccard_verify(
@@ -186,10 +217,12 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingle_k: int = 5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (id_a, id_b)."""
-    sh = docs.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("sh")
+    sh = (
+        shingles if shingles is not None
+        else shingle_docs(docs, text_col, id_col, shingle_k)
     )
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")

@@ -159,3 +159,55 @@ def test_knn_ivf_recall_at_10(emb):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"knn_ivf recall@10 {recall:.3f} < 0.9"
+
+
+# ---------------------------------------------------------------------------
+# exact-equality gates pinning the DRIVER configurations (round-3): the
+# entry's ANN/minhash queries now carry SQL oracles, which is only sound
+# because their parameters make candidate sets cover the exact answer at
+# driver SF.  These gates pin exactly those configurations against the
+# in-repo exact baselines, so a parameter edit that breaks coverage fails
+# here before it ships driver-red.
+# ---------------------------------------------------------------------------
+def _entry_queries():
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()
+
+
+def test_driver_minhash_equals_allpairs_exact(spark, docs):
+    from logicaldecoding_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    sl = docs.filter(F.col("doc_id") < 200)
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_all_pairs(sl, threshold=0.6, shingle_k=5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in _entry_queries()["dedup_minhash"](spark, SF_DIR).collect()
+    }
+    assert exact, "baseline found no pairs — gate is vacuous"
+    assert got == exact, (
+        f"driver minhash config no longer exact: missed {len(exact - got)}, "
+        f"invented {len(got - exact)}"
+    )
+
+
+@pytest.mark.parametrize("name", ["knn_lsh", "knn_ivf"])
+def test_driver_ann_equals_bruteforce_exact(spark, emb, name):
+    from logicaldecoding_spark.operators.similarity import knn_bruteforce
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in knn_bruteforce(emb, queries, k=10).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in _entry_queries()[name](spark, SF_DIR).collect()
+    }
+    assert got == exact, (
+        f"driver {name} config no longer exact: missed {len(exact - got)}, "
+        f"invented {len(got - exact)}"
+    )

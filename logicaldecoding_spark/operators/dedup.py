@@ -38,6 +38,51 @@ from ..functions.vectors import cosine
 _MERSENNE = (1 << 31) - 1
 
 
+def drop_oversized_buckets(
+    banded: DataFrame,
+    keys: tuple[str, ...],
+    max_bucket_size: int | None,
+    label: str,
+) -> DataFrame:
+    """Remove LSH buckets larger than ``max_bucket_size`` before a
+    bucket self-join, logging the dropped volume.
+
+    The LSH candidate bound is O(sum of bucket^2): one degenerate bucket
+    (boilerplate shingles, an all-identical cluster, an adversarial corpus)
+    of size m contributes m^2/2 pairs and at corpus scale a single hot
+    bucket can dominate the whole job.  The cap makes the worst case
+    cap * corpus instead of corpus^2.  Dropped buckets lose recall for their
+    members ONLY within that band/table (other bands still route them), and
+    a drop is never silent: the dropped bucket count + row volume is
+    warned with the knob to widen.  Exact duplicates should be removed by
+    exact_dedup first — identical docs collide in EVERY band, so a clique of
+    them is exactly the degenerate bucket this cap bounds."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    over = (
+        banded.groupBy(*keys).count()
+        .filter(F.col("count") > max_bucket_size)
+        .persist()
+    )
+    st = over.agg(
+        F.count("*").alias("buckets"), F.coalesce(F.sum("count"), F.lit(0)).alias("rows")
+    ).collect()[0]
+    if st["buckets"]:
+        import warnings
+
+        warnings.warn(
+            f"{label}: dropped {st['buckets']} LSH bucket(s) over cap "
+            f"{max_bucket_size} covering {st['rows']} rows; members keep "
+            "their other bands/tables — raise max_bucket_size or add "
+            "bands/tables to restore recall for these",
+            stacklevel=3,
+        )
+    return banded.join(F.broadcast(over.select(*keys)), list(keys), "left_anti")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
                 ) -> DataFrame:
     """Rank rows within identical-content groups; rank 1 = canonical copy.
@@ -142,13 +187,15 @@ def _minhash_sig_udf(a: np.ndarray, b: np.ndarray):
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands -> candidate pairs.
 
     Emits (id_a < id_b) distinct pairs that collide in >=1 band.  The
     self-join is per (band, bucket): only same-bucket rows ever meet, which
-    is what keeps this sub-quadratic at corpus scale."""
+    is what keeps this sub-quadratic at corpus scale; ``max_bucket_size``
+    bounds the degenerate-bucket worst case (see drop_oversized_buckets)."""
     sig_cols = [c for c in signatures.columns if c != id_col]
     assert len(sig_cols) >= bands * rows, "need k >= bands*rows minhashes"
     banded = signatures.select(
@@ -166,6 +213,9 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    banded = drop_oversized_buckets(
+        banded, ("band", "bucket"), max_bucket_size, "lsh_candidate_pairs"
+    )
     l = banded.alias("l")
     r = banded.alias("r")
     return (
@@ -192,6 +242,7 @@ def minhash_dedup_pairs(
     rows: int = 4,
     shingle_k: int = 5,
     seed: int = 42,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates -> exact Jaccard verify.
 
@@ -205,7 +256,7 @@ def minhash_dedup_pairs(
     )
     sigs = minhash_signatures(docs, text_col, id_col, k, shingle_k, seed,
                               shingles=sh)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket_size)
     return ngram_jaccard_verify(docs, cands, text_col, id_col, threshold,
                                 shingle_k, shingles=sh)
 
@@ -313,7 +364,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
 def simhash_dup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale:
     the 64-bit signature splits into 4 16-bit bands; a pair within Hamming
@@ -337,6 +388,9 @@ def simhash_dup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bucket")
+    banded = drop_oversized_buckets(
+        banded, ("band", "bucket"), max_bucket_size, "simhash_dup_pairs"
+    )
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -388,6 +442,7 @@ def embedding_neardup_pairs_lsh(
     n_planes: int = 4,
     n_tables: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH candidates + exact verify.
 
@@ -402,6 +457,9 @@ def embedding_neardup_pairs_lsh(
     from .similarity import lsh_buckets
 
     b = lsh_buckets(emb, dim, n_planes, n_tables, seed, vec_col, id_col)
+    b = drop_oversized_buckets(
+        b, ("table", "bucket"), max_bucket_size, "embedding_neardup_pairs_lsh"
+    )
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(

@@ -198,13 +198,21 @@ def knn_lsh(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_size: int | None = 5000,
 ) -> DataFrame:
     """Approximate top-k: candidates = same (table, bucket) in any table,
     exact cosine re-rank of candidates only.
 
     At corpus scale the candidate join is bucket-partitioned (no all-pairs);
-    recall tunes with n_tables / n_planes."""
+    recall tunes with n_tables / n_planes.  ``max_bucket_size`` drops
+    corpus-side buckets over the cap (a hot bucket meeting Q queries costs
+    Q * bucket candidates; see operators.dedup.drop_oversized_buckets)."""
+    from .dedup import drop_oversized_buckets
+
     cb = lsh_buckets(corpus, dim, n_planes, n_tables, seed, vec_col, id_col)
+    cb = drop_oversized_buckets(
+        cb, ("table", "bucket"), max_bucket_size, "knn_lsh"
+    )
     qb = lsh_buckets(queries, dim, n_planes, n_tables, seed, vec_col, id_col)
     cand = (
         qb.alias("q")

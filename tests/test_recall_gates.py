@@ -211,3 +211,26 @@ def test_driver_ann_equals_bruteforce_exact(spark, emb, name):
         f"driver {name} config no longer exact: missed {len(exact - got)}, "
         f"invented {len(got - exact)}"
     )
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """10k identical-signature docs put 10k rows in every band bucket; the
+    cap must bound the candidate join (and warn) instead of emitting ~5e7
+    pairs per band.  Exact duplicates remain exact_dedup's job — it finds
+    the whole clique with one hash aggregation."""
+    from logicaldecoding_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text " * 20).alias("text"),
+    )
+    with pytest.warns(UserWarning, match="over cap"):
+        pairs = minhash_dedup_pairs(docs, threshold=0.6, shingle_k=5,
+                                    max_bucket_size=100)
+        n = pairs.count()
+    assert n == 0  # every bucket was degenerate -> dropped, join bounded
+    top = exact_dedup(docs).agg(F.max("n_copies").alias("m")).collect()[0]
+    assert top["m"] == 10_000

@@ -9,8 +9,12 @@ captured log into LSN ranges such that
   lsn <= its commit LSN and > the previous txn's commit LSN): the reference's
   "only whole committed transactions are visible" rule (SURVEY §2.9 T2);
 * schema-change (R) events sit on their own boundary: each evolution is a
-  batch of its own, applied to table metadata BEFORE the following data
-  batch — the transactional-evolution rule.
+  metadata-only batch of its own, applied BEFORE the data epoch containing
+  its transaction — the transactional-evolution rule.  Boundaries come from
+  the R transaction's OWN BEGIN/COMMIT marker LSNs read from the log (an R
+  txn may carry data events too; they replay in the following data epoch),
+  and an R whose transaction rolled back is skipped, matching the
+  committed-only rule of the sequential oracle.
 
 Planning is cheap at any scale: R events are found with a JVM-side
 ``contains(payload, ...)`` prefilter (no JSON parse of the full log), and
@@ -82,16 +86,56 @@ def plan_batches(
         r_df = r_df.filter(
             F.col("table").isNull() | (F.col("table") == F.lit(source_table))
         )
-    r_rows = r_df.select("lsn", "schema_change").collect()
+    r_rows = r_df.select("lsn", "txid", "schema_change").collect()
     r_rows.sort(key=lambda r: r["lsn"])
+
+    # Each R's epoch boundary is its OWN transaction's BEGIN/COMMIT marker
+    # LSNs, read from the log (one prefiltered marker scan over the R txids)
+    # — no assumption about how many events the R txn carries or where the
+    # R sits inside it (the earlier r_lsn±k arithmetic encoded the test
+    # generator's minimal (B,R,C) layout).  Transactions are contiguous
+    # serial blocks in the WAL, so (begin_lsn, commit_lsn] covers exactly
+    # the R txn.  An R whose txn never committed is SKIPPED — rolled-back
+    # schema changes must not apply (matching the sequential oracle's
+    # committed-only rule, oracle.py).
+    tx_bounds: dict[int, tuple[int, int | None]] = {}
+    if r_rows:
+        from ..sources.parse import parse_markers
+
+        r_txids = sorted({int(r["txid"]) for r in r_rows})
+        mk = parse_markers(
+            raw.filter(
+                F.col("payload").contains('"op":"B"')
+                | F.col("payload").contains('"op":"C"')
+            )
+        ).filter(F.col("txid").isin(r_txids))
+        for m in mk.groupBy("txid").agg(
+            F.min(F.when(F.col("op") == "B", F.col("lsn"))).alias("b_lsn"),
+            F.max(F.when(F.col("op") == "C", F.col("lsn"))).alias("c_lsn"),
+        ).collect():
+            tx_bounds[int(m["txid"])] = (
+                int(m["b_lsn"]) if m["b_lsn"] is not None else None,
+                int(m["c_lsn"]) if m["c_lsn"] is not None else None,
+            )
+
+    def _r_span(r) -> tuple[int, int] | None:
+        """(begin_lsn-1 exclusive, commit_lsn inclusive] of the R's txn, or
+        None if the txn never committed (skip the change)."""
+        b, c = tx_bounds.get(int(r["txid"]), (None, None))
+        if c is None:
+            return None  # uncommitted/rolled-back txn: change does not apply
+        return ((b if b is not None else int(r["lsn"])) - 1, c)
 
     plans: list[BatchPlan] = []
     if eager_evolution:
         for r in r_rows:
+            span = _r_span(r)
+            if span is None:
+                continue
             ch = r["schema_change"]
             plans.append(
                 BatchPlan(
-                    "schema", int(r["lsn"]) - 2, min(int(r["lsn"]) + 1, max_lsn),
+                    "schema", span[0], span[1],
                     (ch["kind"], ch["column"], ch["type"]),
                     advance_watermark=False,
                 )
@@ -103,21 +147,27 @@ def plan_batches(
 
     prev = 0  # exclusive lower bound
     for r in r_rows:
-        r_lsn = int(r["lsn"])
-        # R sits inside its own (B,R,C) txn: include it + its commit marker
-        # in the schema batch; data before it forms the preceding epoch.
-        if r_lsn - 2 > prev:
+        span = _r_span(r)
+        if span is None:
+            continue
+        lo, hi = span
+        # data strictly before the R txn forms the preceding epoch; the R
+        # txn's own events (it may carry data events besides the R) fall
+        # into the FOLLOWING data epoch, which starts at the txn's BEGIN so
+        # nothing is skipped — the schema batch itself is metadata-only.
+        if lo > prev:
             plans.extend(
-                _split_data_epoch(raw, prev, r_lsn - 2, target_data_batches, parse_mode)
+                _split_data_epoch(raw, prev, lo, target_data_batches, parse_mode)
             )
+            prev = lo
         ch = r["schema_change"]
         plans.append(
             BatchPlan(
-                "schema", r_lsn - 2, min(r_lsn + 1, max_lsn),
+                "schema", lo, hi,
                 (ch["kind"], ch["column"], ch["type"]),
+                advance_watermark=False,
             )
         )
-        prev = min(r_lsn + 1, max_lsn)
     if prev < max_lsn:
         plans.extend(
             _split_data_epoch(raw, prev, max_lsn, target_data_batches, parse_mode)

@@ -37,11 +37,20 @@ def test_plan_isolates_schema_batches(spark, evo_log):
     plans = plan_batches(raw, target_data_batches=2, eager_evolution=False)
     kinds = [p.kind for p in plans]
     assert kinds.count("schema") == 3
-    # plans tile the lsn space contiguously and in order
-    assert plans[0].lsn_from == 0
-    for a, b in zip(plans, plans[1:]):
+    # DATA plans tile the lsn space contiguously and in order (schema plans
+    # are metadata-only overlays: each spans its own txn's (BEGIN-1, COMMIT]
+    # range, whose events replay inside the FOLLOWING data epoch)
+    data = [p for p in plans if p.kind == "data"]
+    assert data[0].lsn_from == 0
+    for a, b in zip(data, data[1:]):
         assert a.lsn_to == b.lsn_from
-    assert plans[-1].lsn_to == stats["max_lsn"]
+    assert data[-1].lsn_to == stats["max_lsn"]
+    # every schema plan is ordered BEFORE the data epoch containing its span
+    for i, p in enumerate(plans):
+        if p.kind == "schema":
+            following = next(q for q in plans[i + 1:] if q.kind == "data")
+            assert following.lsn_from <= p.lsn_from
+            assert following.lsn_to >= p.lsn_to
     # schema batches carry their change payloads
     changes = [p.change for p in plans if p.kind == "schema"]
     assert ("add_column", "size", "int") in changes
@@ -106,3 +115,85 @@ def test_resume_after_crash_each_cut_point(spark, evo_log, tmp_path):
         assert all(b["kind"] == "schema" for b in r3["batches"]
                    if b.get("rows_written") is None)
         assert sum(b.get("rows_written") or 0 for b in r3["batches"]) == 0
+
+
+def _write_handmade_log(path: str, rows: list[dict]) -> None:
+    """rows: [{lsn, txid, seq, op, extra...}] -> a generator-shaped parquet."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    recs = []
+    for r in rows:
+        pl = {"txid": r["txid"], "seq": r.get("seq", 0),
+              "ct": 946_684_800_000_000, "op": r["op"]}
+        if r["op"] in ("I", "U", "D"):
+            pl["table"] = "repos"
+            if r["op"] in ("I", "U"):
+                pl["new"] = r["new"]
+            if r["op"] in ("U", "D"):
+                pl["old"] = {"repo": r["new"]["repo"], "path": r["new"]["path"]}
+        if r["op"] == "R":
+            pl["change"] = r["change"]
+        recs.append({
+            "lsn": r["lsn"], "txid": r["txid"], "seq": r.get("seq", 0),
+            "commit_time_us": pl["ct"], "op": r["op"],
+            "committed": True,
+            "payload": _json.dumps(pl, separators=(",", ":")),
+        })
+    schema = pa.schema([
+        ("lsn", pa.int64()), ("txid", pa.int64()), ("seq", pa.int32()),
+        ("commit_time_us", pa.int64()), ("op", pa.string()),
+        ("committed", pa.bool_()), ("payload", pa.string()),
+    ])
+    pq.write_table(pa.Table.from_pylist(recs, schema=schema), path)
+
+
+@pytest.mark.parametrize("eager", [True, False])
+def test_fat_r_txn_and_rolled_back_r_converge(spark, tmp_path, eager):
+    """The R txn carries DATA events besides the R (no generator (B,R,C)
+    layout assumption), and a second R sits in a transaction that never
+    commits — boundaries must come from the R txn's own BEGIN/COMMIT
+    markers, the fat txn's data events must still apply, and the
+    rolled-back R must NOT evolve the schema (committed-only rule)."""
+
+    def new(pathname, content, **extra):
+        return {"repo": "r1", "path": pathname, "commit": "c" * 40,
+                "lang": "py", "content": content, **extra}
+
+    log = str(tmp_path / f"fat_{eager}.parquet")
+    _write_handmade_log(log, [
+        {"lsn": 1, "txid": 100, "op": "B"},
+        {"lsn": 2, "txid": 100, "op": "I", "new": new("a", "x1")},
+        {"lsn": 3, "txid": 100, "op": "C"},
+        # fat R txn: data event, then R, then a data event USING the new col
+        {"lsn": 4, "txid": 101, "op": "B"},
+        {"lsn": 5, "txid": 101, "seq": 0, "op": "I", "new": new("b", "x2")},
+        {"lsn": 6, "txid": 101, "seq": 1, "op": "R",
+         "change": {"kind": "add_column", "column": "size", "type": "long"}},
+        {"lsn": 7, "txid": 101, "seq": 2, "op": "I",
+         "new": new("c", "x3", size="123")},
+        {"lsn": 8, "txid": 101, "op": "C"},
+        # rolled-back txn carrying an R: must not apply
+        {"lsn": 9, "txid": 102, "op": "B"},
+        {"lsn": 10, "txid": 102, "seq": 0, "op": "R",
+         "change": {"kind": "add_column", "column": "bogus", "type": "long"}},
+        {"lsn": 11, "txid": 102, "seq": 1, "op": "I", "new": new("d", "x4")},
+        # committed tail txn updating a pre-evolution row with the new col
+        {"lsn": 12, "txid": 103, "op": "B"},
+        {"lsn": 13, "txid": 103, "op": "U", "new": new("a", "x9", size="7")},
+        {"lsn": 14, "txid": 103, "op": "C"},
+    ])
+    table_path = str(tmp_path / f"t_{eager}")
+    replay(spark, log, table_path, parse_mode="native", n_buckets=2,
+           n_data_batches=2, eager_evolution=eager)
+    oracle_state, oracle_schema = replay_oracle(log)
+    assert ("r1", "d") not in oracle_state  # rolled back
+    assert_converged(spark, table_path, oracle_state)
+    t = LakeTable.load(table_path)
+    names = {f.name for f in t.schema.fields}
+    assert "size" in names and "bogus" not in names
+    got = {r["path"]: r.asDict() for r in t.read(spark).collect()}
+    assert got["c"]["size"] == 123 and got["a"]["size"] == 7
+    assert got["b"]["size"] is None

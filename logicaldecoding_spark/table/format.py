@@ -356,9 +356,13 @@ class LakeTable:
         and it removes the per-file driver-side rename pass, a serial
         section that didn't shrink with cores.
 
-        Per-file stats (row count, max applied LSN) come from the Parquet
-        footers, read concurrently through the FileIO seam — tiny
-        independent I/Os, no extra Spark job.
+        Per-file stats (row count, max applied LSN) come from one
+        DISTRIBUTED aggregation over the just-written directory, column-
+        pruned to ``_last_lsn`` + the file name — the driver collects only
+        the tiny one-row-per-file stats frame.  The previous shape walked
+        the directory tree and read every Parquet footer on the driver: a
+        serial commit-path section growing with file count (round-2 "What's
+        wrong #4") and exactly the listing pattern an object store punishes.
         """
         batch_dir_rel = os.path.join("data", f"batch-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, batch_dir_rel)
@@ -369,43 +373,36 @@ class LakeTable:
             .parquet(out_dir)
         )
         schema_id = self.schema.schema_id
-        written: list[tuple[str, int]] = []  # (rel_path, bucket)
-        for entry in self.io.listdir(out_dir):
-            if not entry.startswith("_bucket="):
-                continue
-            bucket = int(entry.split("=", 1)[1])
-            for fn in self.io.listdir(os.path.join(out_dir, entry)):
-                if fn.endswith(".parquet"):
-                    written.append((os.path.join(batch_dir_rel, entry, fn), bucket))
-
-        def harvest(item: tuple[str, int]) -> dict:
-            rel, bucket = item
-            md = self.io.parquet_metadata(os.path.join(self.path, rel))
-            max_lsn = None
-            try:
-                idx = md.schema.to_arrow_schema().get_field_index("_last_lsn")
-                stats = [
-                    md.row_group(i).column(idx).statistics
-                    for i in range(md.num_row_groups)
-                ]
-                vals = [s.max for s in stats if s is not None and s.has_min_max]
-                if vals:
-                    max_lsn = max(vals)
-            except Exception:
-                pass
-            return {
-                "path": rel,
-                "bucket": bucket,
-                "schema_id": schema_id,
-                "rows": md.num_rows,
-                "max_lsn": max_lsn,
-            }
-
-        # footer reads are tiny independent I/Os: do them concurrently
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=32) as ex:
-            new_files = list(ex.map(harvest, written))
+        try:
+            stats = (
+                spark.read.parquet(out_dir)
+                .groupBy(
+                    F.input_file_name().alias("file"), F.col("_bucket")
+                )
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.max("_last_lsn").alias("max_lsn"),
+                )
+                .collect()
+            )
+        except Exception as e:
+            if "PATH_NOT_FOUND" in str(e) or "Unable to infer schema" in str(e):
+                return []  # zero rows written -> no directory/files at all
+            raise
+        sep = batch_dir_rel.replace(os.sep, "/")
+        new_files = []
+        for s in stats:
+            f = s["file"]
+            rel = f[f.index(sep):] if sep in f else f
+            new_files.append(
+                {
+                    "path": rel,
+                    "bucket": int(s["_bucket"]),
+                    "schema_id": schema_id,
+                    "rows": int(s["rows"]),
+                    "max_lsn": int(s["max_lsn"]) if s["max_lsn"] is not None else None,
+                }
+            )
         return new_files
 
     # ---------------------------------------------------------- maintenance

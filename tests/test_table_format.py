@@ -171,7 +171,14 @@ def test_fileio_seam_carries_all_table_io(spark, tmp_path):
                applied_upto_lsn=1, batch_id=0)
     ops = {name for name, _ in io.calls}
     # the commit protocol's primitives all flowed through the seam
-    assert {"write_text_exclusive", "write_text_atomic", "read_text",
-            "listdir", "parquet_metadata"} <= ops
+    assert {"write_text_exclusive", "write_text_atomic", "read_text"} <= ops
+    # and the commit path touches NO data files driver-side: per-file stats
+    # come from a distributed agg, not a listdir/footer walk (round-3)
+    data_touches = [
+        (name, args) for name, args in io.calls
+        if name in ("listdir", "parquet_metadata", "list_files")
+        and any("/data" in str(a) for a in args)
+    ]
+    assert not data_touches, data_touches
     t2 = LakeTable.load(path, io=io)
     assert t2.read(spark).count() == 1

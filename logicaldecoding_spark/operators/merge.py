@@ -124,7 +124,14 @@ def merge_into(
         "merge_secs": round(time.time() - t0, 3),
         **(extra_metrics or {}),
     }
-    table.commit_data(new_files, set(touched), applied_upto_lsn, batch_id, metrics)
+    # replaced slots span every partition spec: rewriting current bucket b
+    # also consumes the old-spec bucket it split from (rows were read via
+    # the same mapping and re-written under the current spec — lazy
+    # migration by touch)
+    table.commit_data(
+        new_files, table.replaced_entries(touched), applied_upto_lsn,
+        batch_id, metrics,
+    )
     phases["commit"] = round(time.time() - t3, 3)
     return {"rows_written": rows, "buckets": len(touched),
             "secs": time.time() - t0, "phases": phases}

@@ -113,12 +113,17 @@ class LakeTable:
             raise FileExistsError(f"table already exists at {path}")
         t.io.makedirs(t._meta_dir)
         t.io.makedirs(t._data_dir)
+        spec0 = {
+            "transform": "bucket", "source": list(pk), "n": n_buckets,
+            "spec_id": 0,
+        }
         meta = {
             "format_version": FORMAT_VERSION,
             "table_uuid": str(uuid.uuid4()),
             "version": 0,
             "pk": list(pk),
-            "partition_spec": {"transform": "bucket", "source": list(pk), "n": n_buckets},
+            "partition_spec": spec0,
+            "partition_specs": [spec0],
             "schema": schema.to_json(),
             "schemas": [schema.to_json()],
             "snapshot": {
@@ -170,6 +175,33 @@ class LakeTable:
     @property
     def n_buckets(self) -> int:
         return self.metadata(refresh=False)["partition_spec"]["n"]
+
+    @property
+    def spec_id(self) -> int:
+        return self.metadata(refresh=False)["partition_spec"].get("spec_id", 0)
+
+    def partition_specs(self, meta: dict | None = None) -> dict[int, int]:
+        """{spec_id: n_buckets} for every spec files may be written under."""
+        m = meta if meta is not None else self.metadata(refresh=False)
+        specs = m.get("partition_specs") or [m["partition_spec"]]
+        return {int(s.get("spec_id", 0)): int(s["n"]) for s in specs}
+
+    def replaced_entries(self, touched: set[int] | list[int]) -> set[tuple[int, int]]:
+        """All (spec_id, bucket) manifest slots a COW rewrite of the given
+        CURRENT-spec buckets replaces.
+
+        A key whose current bucket is ``b`` lived, under an older spec with
+        ``n_s`` buckets, in bucket ``b % n_s`` (specs only grow by integer
+        factors, so ``h mod n_s == (h mod n_cur) mod n_s``); rewriting
+        current buckets therefore consumes those older-spec slots too —
+        their rows were read via the same mapping and re-written under the
+        current spec (lazy migration by touch, as Iceberg's spec evolution
+        prescribes)."""
+        out: set[tuple[int, int]] = set()
+        for sid, n_s in self.partition_specs().items():
+            for b in touched:
+                out.add((sid, int(b) % n_s))
+        return out
 
     @property
     def pk(self) -> tuple[str, ...]:
@@ -242,8 +274,17 @@ class LakeTable:
         current = TableSchema.from_json(meta["schema"])
         manifest = meta["snapshot"]["manifest"]
         if buckets is not None:
-            want = set(buckets)
-            manifest = [m for m in manifest if m["bucket"] in want]
+            # per-spec pruning: ``buckets`` are CURRENT-spec ids; a file
+            # written under an older (smaller) spec may hold a wanted key in
+            # bucket b % n_s (see replaced_entries)
+            want_by_spec = {
+                sid: {int(b) % n_s for b in buckets}
+                for sid, n_s in self.partition_specs(meta).items()
+            }
+            manifest = [
+                m for m in manifest
+                if m["bucket"] in want_by_spec.get(m.get("spec_id", 0), set())
+            ]
 
         out_struct = current.to_spark(with_lineage=True)
         if not manifest:
@@ -314,15 +355,25 @@ class LakeTable:
     def commit_data(
         self,
         new_files: list[dict],
-        replaced_buckets: set[int],
+        replaced_buckets: set,
         applied_upto_lsn: int,
         batch_id: int,
         metrics: dict | None = None,
     ) -> None:
         """Copy-on-write snapshot: replace all files of ``replaced_buckets``
-        with ``new_files`` (each: {path, bucket, schema_id, rows, max_lsn})."""
+        with ``new_files`` (each: {path, bucket, spec_id, schema_id, rows,
+        max_lsn}).  ``replaced_buckets`` entries are (spec_id, bucket)
+        pairs; bare ints mean the CURRENT spec (legacy callers)."""
         meta = self.metadata()
-        keep = [m for m in meta["snapshot"]["manifest"] if m["bucket"] not in replaced_buckets]
+        cur_sid = meta["partition_spec"].get("spec_id", 0)
+        replaced = {
+            e if isinstance(e, tuple) else (cur_sid, int(e))
+            for e in replaced_buckets
+        }
+        keep = [
+            m for m in meta["snapshot"]["manifest"]
+            if (m.get("spec_id", 0), m["bucket"]) not in replaced
+        ]
         manifest = keep + new_files
         offsets = dict(meta["snapshot"].get("offsets", {}))
         for nf in new_files:
@@ -398,12 +449,94 @@ class LakeTable:
                 {
                     "path": rel,
                     "bucket": int(s["_bucket"]),
+                    "spec_id": self.spec_id,
                     "schema_id": schema_id,
                     "rows": int(s["rows"]),
                     "max_lsn": int(s["max_lsn"]) if s["max_lsn"] is not None else None,
                 }
             )
         return new_files
+
+    def evolve_partition_spec(self, n_new: int) -> None:
+        """Metadata-only partition evolution: grow the bucket count.
+
+        The mod-hash transform makes splitting spec-wide and FREE: no data
+        moves — every existing file keeps its (old) spec_id in the manifest,
+        reads prune old-spec files through the bucket mapping
+        ``b_new % n_old`` (replaced_entries), and COW MERGEs migrate a
+        file's rows to the current spec the first time its keys are touched.
+        This is the Iceberg partition-spec-evolution model (spec per file,
+        new data under the new spec, old data rewritten lazily) and the
+        answer to fixed-bucket write amplification at 10^10 keys: start
+        small, grow n_buckets as the table grows, never rewrite the table in
+        one shot.  ``n_new`` must be a multiple of the current bucket count
+        (hash-prefix compatibility: ``h mod n_old == (h mod n_new) mod
+        n_old``); per-single-bucket splits don't exist under a mod
+        transform — growth halves every bucket at once.
+
+        Per-bucket offsets are remapped conservatively: new bucket b
+        inherits the watermark of the old bucket it split from (b % n_old).
+        """
+        meta = self.metadata()
+        n_old = int(meta["partition_spec"]["n"])
+        if n_new == n_old:
+            return  # idempotent re-apply
+        if n_new % n_old != 0 or n_new < n_old:
+            raise ValueError(
+                f"n_new must be a growing multiple of {n_old}, got {n_new}"
+            )
+        new_sid = max(self.partition_specs()) + 1
+        spec = {
+            "transform": "bucket",
+            "source": meta["partition_spec"]["source"],
+            "n": n_new,
+            "spec_id": new_sid,
+        }
+        new_meta = dict(meta)
+        new_meta["version"] = meta["version"] + 1
+        new_meta["partition_spec"] = spec
+        new_meta["partition_specs"] = [
+            *(meta.get("partition_specs") or [meta["partition_spec"]]), spec
+        ]
+        snap = dict(meta["snapshot"])
+        snap["snapshot_id"] = new_meta["version"]
+        snap["parent_id"] = meta["snapshot"]["snapshot_id"]
+        snap["timestamp_ms"] = int(time.time() * 1000)
+        old_offsets = meta["snapshot"].get("offsets", {})
+        snap["offsets"] = {
+            str(b): int(old_offsets[str(b % n_old)])
+            for b in range(n_new)
+            if str(b % n_old) in old_offsets
+        }
+        snap["metrics"] = {
+            "kind": "partition_evolution", "n_from": n_old, "n_to": n_new,
+        }
+        new_meta["snapshot"] = snap
+        self._write_meta(new_meta)
+
+    # ---------------------------------------------------------------- lookup
+    def lookup(self, spark: SparkSession, keys: list[tuple]) -> DataFrame:
+        """Bucket-pruned point lookup: rows matching the given PK tuples.
+
+        The distributed analog of the reference subscriber's
+        ``Tenant::retrieve``/``retrieve_many`` map lookups
+        (/root/reference/src/types/tenant/mod.rs:33-48): the wanted keys'
+        buckets are computed with the SAME hash Spark writes with (one tiny
+        Spark job over the key list), the scan prunes to manifest entries of
+        those buckets only (old specs included via the bucket mapping), and
+        a broadcast semi-join picks the exact rows."""
+        pk = list(self.pk)
+        key_df = spark.createDataFrame(
+            [tuple(k) for k in keys],
+            ", ".join(f"{c} string" for c in pk),
+        )
+        want = sorted(
+            r["_b"] for r in key_df.select(
+                bucket_expr(self.n_buckets, tuple(pk)).alias("_b")
+            ).distinct().collect()
+        )
+        scan = self.read(spark, buckets=want)
+        return scan.join(F.broadcast(key_df), on=pk, how="left_semi")
 
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:

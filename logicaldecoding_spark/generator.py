@@ -374,11 +374,29 @@ class WalLogGenerator:
 
 
 def generate_log(out_path: str, **kwargs) -> dict:
-    """Convenience wrapper: generate_log('/tmp/wal.parquet', n_txns=..., ...)."""
+    """Convenience wrapper: generate_log('/tmp/wal.parquet', n_txns=..., ...).
+
+    ``payload_format='proto'`` re-encodes every payload as decoderbufs
+    RowMessage wire bytes (binary column) — the reference's actual wire
+    format (src/pg_logicaldec.proto:42-50); see sources/proto.py.  The JSON
+    path remains the vectorized bench workhorse."""
+    fmt = kwargs.pop("payload_format", "json")
     sc = kwargs.pop("schema_changes", None)
     params = WorkloadParams(**kwargs)
     if sc is not None:
         params.schema_changes = sc
+    if fmt == "proto":
+        from .sources.proto import convert_log_to_proto
+
+        tmp = out_path + ".json.tmp.parquet"
+        stats = WalLogGenerator(params).write(tmp)
+        convert_log_to_proto(tmp, out_path)
+        os.remove(tmp)
+        stats["path"] = out_path
+        stats["payload_format"] = "proto"
+        return stats
+    if fmt != "json":
+        raise ValueError(f"unknown payload_format {fmt!r}")
     return WalLogGenerator(params).write(out_path)
 
 

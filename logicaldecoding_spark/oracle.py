@@ -96,7 +96,13 @@ def replay_oracle(
             continue
         if txids[i] not in committed_txids:
             continue
-        ev = json.loads(payloads[i])
+        p = payloads[i]
+        if isinstance(p, (bytes, bytearray)):  # protobuf-wire log
+            from .sources.proto import decode_row_message
+
+            ev = decode_row_message(bytes(p))
+        else:
+            ev = json.loads(p)
         if op == OP_RELATION:
             ch = ev["change"]
             schema = schema.apply_change(ch["kind"], ch["column"], ch["type"])

@@ -75,13 +75,17 @@ def plan_batches(
         return []
     max_lsn = int(bounds["hi"])
 
-    # schema-change events: rare; cheap substring prefilter, then a real parse
-    r_df = (
-        parse_events(
-            raw.filter(F.col("payload").contains('"op":"R"')), mode=parse_mode
-        )
-        .filter(F.col("op") == "R")
+    # schema-change events: rare; cheap prefilter, then a real parse.  For
+    # the JSON wire a substring match finds them; for protobuf the reserved
+    # '__schema__' table name appears literally as length-delimited UTF-8 in
+    # the wire bytes (false positives are removed by the parse's op filter).
+    is_proto = parse_mode == "proto"
+    r_pref = (
+        raw.filter(F.col("payload").contains(F.lit(b"__schema__")))
+        if is_proto
+        else raw.filter(F.col("payload").contains('"op":"R"'))
     )
+    r_df = parse_events(r_pref, mode=parse_mode).filter(F.col("op") == "R")
     if source_table is not None:
         r_df = r_df.filter(
             F.col("table").isNull() | (F.col("table") == F.lit(source_table))
@@ -103,11 +107,19 @@ def plan_batches(
         from ..sources.parse import parse_markers
 
         r_txids = sorted({int(r["txid"]) for r in r_rows})
-        mk = parse_markers(
-            raw.filter(
+        # B/C marker prefilter: substring match on the JSON wire; on the
+        # protobuf wire markers carry no tuples, so a generous length bound
+        # (encoded B/C <= 19 bytes) prunes the scan instead
+        mk_pref = (
+            raw.filter(F.length("payload") <= 32)
+            if is_proto
+            else raw.filter(
                 F.col("payload").contains('"op":"B"')
                 | F.col("payload").contains('"op":"C"')
             )
+        )
+        mk = parse_markers(
+            mk_pref, mode="proto" if is_proto else "json"
         ).filter(F.col("txid").isin(r_txids))
         for m in mk.groupBy("txid").agg(
             F.min(F.when(F.col("op") == "B", F.col("lsn"))).alias("b_lsn"),
@@ -180,10 +192,16 @@ def _split_data_epoch(
 ) -> list[BatchPlan]:
     if n <= 1:
         return [BatchPlan("data", lo, hi)]
-    commits = raw.filter(
-        (F.col("lsn") > lo) & (F.col("lsn") <= hi)
-        & F.col("payload").contains('"op":"C"')
-    ).select("lsn")
+    rng = raw.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+    if parse_mode == "proto":
+        from ..sources.parse import parse_markers
+
+        commits = (
+            parse_markers(rng.filter(F.length("payload") <= 32), mode="proto")
+            .filter(F.col("op") == "C").select("lsn")
+        )
+    else:
+        commits = rng.filter(F.col("payload").contains('"op":"C"')).select("lsn")
     qs = [i / n for i in range(1, n)]
     cuts = sorted(set(int(c) for c in commits.approxQuantile("lsn", qs, 0.001)))
     plans = []

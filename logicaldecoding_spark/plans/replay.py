@@ -267,12 +267,18 @@ def replay(
     if parse_mode == "auto":
         cores = spark.sparkContext.defaultParallelism
         parse_mode = "duckdb" if cores <= 16 else "arrow"
+    if parse_mode == "proto":
+        # protobuf-wire log: every parse stage decodes RowMessage bytes
+        slim_mode = "proto"
+        if direct_slim_scan:
+            raise ValueError("direct_slim_scan supports JSON-wire logs only")
     table = ensure_table(table_path, initial_schema, pk, n_buckets) if create \
         else LakeTable.load(table_path)
 
     raw_all = read_wal_log(spark, log_path)
     plans = plan_batches(raw_all, target_data_batches=n_data_batches,
-                         parse_mode="native", source_table=source_table,
+                         parse_mode="proto" if parse_mode == "proto" else "native",
+                         source_table=source_table,
                          eager_evolution=eager_evolution)
 
     slim_provider = None

@@ -491,7 +491,20 @@ def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
 
     ``mode='arrow'`` routes the narrow pass through pyarrow's C++ JSON
     reader (one batch = one parse, explicit pruned schema, unexpected
-    fields ignored); ``'native'`` stays JVM-side via from_json."""
+    fields ignored); ``'native'`` stays JVM-side via from_json;
+    ``'proto'`` decodes RowMessage wire bytes and projects the slim
+    columns (no skip-scan fast path without a C protobuf lib)."""
+    if mode == "proto":
+        ev = parse_events(raw, mode="proto")
+        return ev.select(
+            "lsn", "txid", "seq", "op", "table",
+            *[
+                F.coalesce(
+                    F.col("new_tuple").getItem(c), F.col("old_tuple").getItem(c)
+                ).alias(c)
+                for c in pk
+            ],
+        )
     if mode in ("arrow", "duckdb"):
         gen, out_schema = (
             _slim_arrow_gen(pk) if mode == "arrow" else _slim_duckdb_gen(pk)
@@ -535,8 +548,10 @@ def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
     )
 
 
-def parse_markers(raw: DataFrame) -> DataFrame:
+def parse_markers(raw: DataFrame, mode: str = "json") -> DataFrame:
     """Minimal parse for txn classification: (lsn, txid, op) only."""
+    if mode == "proto":
+        return parse_events(raw, mode="proto").select("lsn", "txid", "op")
     sch = T.StructType(
         [T.StructField("txid", T.LongType()), T.StructField("op", T.StringType())]
     )
@@ -548,7 +563,10 @@ def parse_markers(raw: DataFrame) -> DataFrame:
 
 def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
     """(lsn, payload) -> (lsn, txid, seq, commit_time_us, op, table,
-    new_tuple, old_tuple, schema_change)."""
+    new_tuple, old_tuple, schema_change).
+
+    ``mode='proto'`` decodes decoderbufs RowMessage wire bytes (payload is
+    BINARY; see sources/proto.py for the mapping and the honest perf note)."""
     if mode == "arrow":
         return raw.select("lsn", "payload").mapInArrow(
             _parse_batches, schema=_OUT_SPARK_SCHEMA
@@ -556,6 +574,12 @@ def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
     if mode == "duckdb":
         return raw.select("lsn", "payload").mapInArrow(
             _duckdb_full_batches, schema=_OUT_SPARK_SCHEMA
+        )
+    if mode == "proto":
+        from .proto import proto_batches
+
+        return raw.select("lsn", "payload").mapInArrow(
+            proto_batches, schema=_OUT_SPARK_SCHEMA
         )
     if mode == "native":
         return raw.select(

@@ -440,7 +440,7 @@ class LakeTable:
             if "PATH_NOT_FOUND" in str(e) or "Unable to infer schema" in str(e):
                 return []  # zero rows written -> no directory/files at all
             raise
-        sep = batch_dir_rel.replace(os.sep, "/")
+        sep = "/".join(batch_dir_rel.split(os.path.sep))  # URI-style separators
         new_files = []
         for s in stats:
             f = s["file"]

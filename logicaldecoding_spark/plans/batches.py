@@ -16,10 +16,10 @@ captured log into LSN ranges such that
   and an R whose transaction rolled back is skipped, matching the
   committed-only rule of the sequential oracle.
 
-Planning is cheap at any scale: R events are found with a JVM-side
-``contains(payload, ...)`` prefilter (no JSON parse of the full log), and
-sub-batch cut points use ``approxQuantile`` over commit LSNs instead of
-collecting them.
+Planning costs exactly two whole-stage-codegen passes over the log (see
+plan_batches docstring): R events are found with a JVM-side substring/byte
+prefilter (no payload parse of the full log on the JSON path), and commit
+cut points come from one approximate-percentile aggregate, never a collect.
 """
 
 from __future__ import annotations
@@ -28,8 +28,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..sources.parse import parse_events
 
 
 @dataclass(frozen=True)
@@ -67,84 +65,167 @@ def plan_batches(
     schema changes replays in K metadata no-ops + the planned data batches
     instead of K extra tiny data epochs.  ``eager_evolution=False`` keeps
     the strict epoch-split order (the two modes are asserted convergent in
-    tests)."""
-    bounds = raw.agg(
-        F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
-    ).collect()[0]
-    if bounds["hi"] is None:
-        return []
-    max_lsn = int(bounds["hi"])
+    tests).
 
-    # schema-change events: rare; cheap prefilter, then a real parse.  For
-    # the JSON wire a substring match finds them; for protobuf the reserved
-    # '__schema__' table name appears literally as length-delimited UTF-8 in
-    # the wire bytes (false positives are removed by the parse's op filter).
+    Cost.  When the capture carries columnar ``op``/``txid`` sidecar
+    columns (the shape a WAL archiver that already decodes message headers
+    produces — our generator does), planning never touches the payload
+    column at all: bounds, R discovery, commit quantiles and R-txn marker
+    bounds are all column-pruned scans over (lsn, op, txid), and Parquet
+    dictionary/row-group filtering skips whole row groups for the rare-R
+    filter.  Without the sidecar (payload-only logs, e.g. the streaming
+    file source), planning falls back to exactly TWO payload passes: one
+    aggregation collecting bounds + R candidates via a substring/byte
+    prefilter, and one aggregation computing commit quantiles + per-R-txid
+    marker bounds with conditional substring aggregates.  (An earlier shape
+    ran four payload scans — measured 107s of a 244s 2-core replay at 30M
+    events.)  The generator's ``committed`` column is ground truth for
+    tests and is deliberately NEVER read here — commit status always comes
+    from the wire's own B/C markers.
+    """
+    import json as _json
+
     is_proto = parse_mode == "proto"
-    r_pref = (
-        raw.filter(F.col("payload").contains(F.lit(b"__schema__")))
-        if is_proto
-        else raw.filter(F.col("payload").contains('"op":"R"'))
-    )
-    r_df = parse_events(r_pref, mode=parse_mode).filter(F.col("op") == "R")
-    if source_table is not None:
-        r_df = r_df.filter(
-            F.col("table").isNull() | (F.col("table") == F.lit(source_table))
+    has_sidecar = {"op", "txid"} <= set(raw.columns)
+    want_cuts = target_data_batches > 1
+
+    if is_proto:
+        from ..sources.proto import decode_row_message as _dec
+
+        def _decode(p):  # bytes -> canonical event dict
+            return _dec(bytes(p))
+    else:
+        def _decode(p):
+            return _json.loads(p)
+
+    r_cand: list  # rows of (lsn, payload) candidates, decoded below
+    tx_bounds: dict[int, tuple[int | None, int | None]] = {}
+    cuts: list[int] = []
+
+    if has_sidecar:
+        # ---- columnar fast path: payload pages never read ----------------
+        bounds = raw.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+                         ).collect()[0]
+        if bounds["hi"] is None:
+            return []
+        max_lsn = int(bounds["hi"])
+        r_cand = (
+            raw.filter(F.col("op") == "R").select("lsn", "payload")
+            .limit(100_001).collect()
         )
-    r_rows = r_df.select("lsn", "txid", "schema_change").collect()
-    r_rows.sort(key=lambda r: r["lsn"])
-
-    # Each R's epoch boundary is its OWN transaction's BEGIN/COMMIT marker
-    # LSNs, read from the log (one prefiltered marker scan over the R txids)
-    # — no assumption about how many events the R txn carries or where the
-    # R sits inside it (the earlier r_lsn±k arithmetic encoded the test
-    # generator's minimal (B,R,C) layout).  Transactions are contiguous
-    # serial blocks in the WAL, so (begin_lsn, commit_lsn] covers exactly
-    # the R txn.  An R whose txn never committed is SKIPPED — rolled-back
-    # schema changes must not apply (matching the sequential oracle's
-    # committed-only rule, oracle.py).
-    tx_bounds: dict[int, tuple[int, int | None]] = {}
-    if r_rows:
-        from ..sources.parse import parse_markers
-
-        r_txids = sorted({int(r["txid"]) for r in r_rows})
-        # B/C marker prefilter: substring match on the JSON wire; on the
-        # protobuf wire markers carry no tuples, so a generous length bound
-        # (encoded B/C <= 19 bytes) prunes the scan instead
-        mk_pref = (
-            raw.filter(F.length("payload") <= 32)
+    else:
+        # ---- payload pass 1: bounds + R-candidate collection -------------
+        # R events are rare BY DESIGN (schema changes); the guard keeps an
+        # adversarial log from flooding the driver.
+        r_marker = (
+            F.col("payload").contains(F.lit(b"__schema__"))
             if is_proto
-            else raw.filter(
-                F.col("payload").contains('"op":"B"')
-                | F.col("payload").contains('"op":"C"')
-            )
+            else F.col("payload").contains('"op":"R"')
         )
-        mk = parse_markers(
-            mk_pref, mode="proto" if is_proto else "json"
-        ).filter(F.col("txid").isin(r_txids))
-        for m in mk.groupBy("txid").agg(
-            F.min(F.when(F.col("op") == "B", F.col("lsn"))).alias("b_lsn"),
-            F.max(F.when(F.col("op") == "C", F.col("lsn"))).alias("c_lsn"),
-        ).collect():
-            tx_bounds[int(m["txid"])] = (
-                int(m["b_lsn"]) if m["b_lsn"] is not None else None,
-                int(m["c_lsn"]) if m["c_lsn"] is not None else None,
+        st = raw.agg(
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+            F.collect_list(
+                F.when(r_marker, F.struct(F.col("lsn"), F.col("payload")))
+            ).alias("r_cand"),
+        ).collect()[0]
+        if st["hi"] is None:
+            return []
+        max_lsn = int(st["hi"])
+        r_cand = st["r_cand"]
+    if len(r_cand) > 100_000:
+        raise ValueError(
+            f"{len(r_cand)} schema-change candidate events: schema "
+            "changes are expected to be rare; refusing to plan driver-side"
+        )
+
+    r_rows: list[tuple[int, int, dict]] = []  # (lsn, txid, change)
+    for c in r_cand:
+        ev = _decode(c["payload"])
+        if ev.get("op") != "R":
+            continue  # substring false positive
+        if source_table is not None and ev.get("table") not in (None, source_table):
+            continue  # foreign table's schema change: ignore
+        r_rows.append((int(c["lsn"]), int(ev["txid"]), ev["change"]))
+    r_rows.sort()
+
+    # ---- commit quantiles + R-txn marker bounds ---------------------------
+    # Each R's epoch boundary is its OWN transaction's BEGIN/COMMIT marker
+    # LSNs (no assumption about how many events the R txn carries or where
+    # the R sits inside it; transactions are contiguous serial blocks in
+    # the WAL, so (begin_lsn, commit_lsn] covers exactly the R txn).  An R
+    # whose txn never committed is SKIPPED — rolled-back schema changes
+    # must not apply (the sequential oracle's committed-only rule).
+    r_txids = sorted({t for _, t, _ in r_rows})
+    if want_cuts or r_txids:
+        if has_sidecar:
+            base = raw.select("lsn", "txid", "op")
+            lsn_c = F.col("lsn")
+            is_b = F.col("op") == "B"
+            is_c = F.col("op") == "C"
+
+            def txm(t):
+                return F.col("txid") == t
+        elif is_proto:
+            from ..sources.parse import parse_markers
+
+            # markers carry no tuples: encoded B/C <= 19 bytes, so a length
+            # bound confines the proto decode to marker rows only
+            base = parse_markers(
+                raw.filter(F.length("payload") <= 32), mode="proto"
+            )
+            lsn_c = F.col("lsn")
+            is_b = F.col("op") == "B"
+            is_c = F.col("op") == "C"
+
+            def txm(t):
+                return F.col("txid") == t
+        else:
+            base = raw
+            lsn_c = F.col("lsn")
+            is_b = F.col("payload").contains('"op":"B"')
+            is_c = F.col("payload").contains('"op":"C"')
+
+            def txm(t):
+                return F.col("payload").contains(f'"txid":{t},')
+        aggs = []
+        if want_cuts:
+            qs = [i / target_data_batches for i in range(1, target_data_batches)]
+            aggs.append(
+                F.percentile_approx(
+                    F.when(is_c, lsn_c), qs, 10_000
+                ).alias("_cuts")
+            )
+        # conjunction order matters on the payload path: the marker test
+        # (one substring) runs first so the per-txid substring only
+        # evaluates on marker rows
+        for t in r_txids:
+            aggs.append(F.min(F.when(is_b & txm(t), lsn_c)).alias(f"_b{t}"))
+            aggs.append(F.max(F.when(is_c & txm(t), lsn_c)).alias(f"_c{t}"))
+        row = base.agg(*aggs).collect()[0]
+        if want_cuts and row["_cuts"] is not None:
+            cuts = sorted({int(c) for c in row["_cuts"] if c is not None})
+        for t in r_txids:
+            b, c = row[f"_b{t}"], row[f"_c{t}"]
+            tx_bounds[t] = (
+                int(b) if b is not None else None,
+                int(c) if c is not None else None,
             )
 
-    def _r_span(r) -> tuple[int, int] | None:
+    def _r_span(lsn: int, txid: int) -> tuple[int, int] | None:
         """(begin_lsn-1 exclusive, commit_lsn inclusive] of the R's txn, or
         None if the txn never committed (skip the change)."""
-        b, c = tx_bounds.get(int(r["txid"]), (None, None))
+        b, c = tx_bounds.get(txid, (None, None))
         if c is None:
             return None  # uncommitted/rolled-back txn: change does not apply
-        return ((b if b is not None else int(r["lsn"])) - 1, c)
+        return ((b if b is not None else lsn) - 1, c)
 
     plans: list[BatchPlan] = []
     if eager_evolution:
-        for r in r_rows:
-            span = _r_span(r)
+        for lsn, txid, ch in r_rows:
+            span = _r_span(lsn, txid)
             if span is None:
                 continue
-            ch = r["schema_change"]
             plans.append(
                 BatchPlan(
                     "schema", span[0], span[1],
@@ -152,14 +233,12 @@ def plan_batches(
                     advance_watermark=False,
                 )
             )
-        plans.extend(
-            _split_data_epoch(raw, 0, max_lsn, target_data_batches, parse_mode)
-        )
+        plans.extend(_tile(0, max_lsn, cuts))
         return plans
 
     prev = 0  # exclusive lower bound
-    for r in r_rows:
-        span = _r_span(r)
+    for lsn, txid, ch in r_rows:
+        span = _r_span(lsn, txid)
         if span is None:
             continue
         lo, hi = span
@@ -168,11 +247,8 @@ def plan_batches(
         # into the FOLLOWING data epoch, which starts at the txn's BEGIN so
         # nothing is skipped — the schema batch itself is metadata-only.
         if lo > prev:
-            plans.extend(
-                _split_data_epoch(raw, prev, lo, target_data_batches, parse_mode)
-            )
+            plans.extend(_tile(prev, lo, cuts))
             prev = lo
-        ch = r["schema_change"]
         plans.append(
             BatchPlan(
                 "schema", lo, hi,
@@ -181,33 +257,18 @@ def plan_batches(
             )
         )
     if prev < max_lsn:
-        plans.extend(
-            _split_data_epoch(raw, prev, max_lsn, target_data_batches, parse_mode)
-        )
+        plans.extend(_tile(prev, max_lsn, cuts))
     return plans
 
 
-def _split_data_epoch(
-    raw: DataFrame, lo: int, hi: int, n: int, parse_mode: str
-) -> list[BatchPlan]:
-    if n <= 1:
-        return [BatchPlan("data", lo, hi)]
-    rng = raw.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-    if parse_mode == "proto":
-        from ..sources.parse import parse_markers
-
-        commits = (
-            parse_markers(rng.filter(F.length("payload") <= 32), mode="proto")
-            .filter(F.col("op") == "C").select("lsn")
-        )
-    else:
-        commits = rng.filter(F.col("payload").contains('"op":"C"')).select("lsn")
-    qs = [i / n for i in range(1, n)]
-    cuts = sorted(set(int(c) for c in commits.approxQuantile("lsn", qs, 0.001)))
+def _tile(lo: int, hi: int, cuts: list[int]) -> list[BatchPlan]:
+    """Data plans tiling (lo, hi], split at the commit-LSN ``cuts`` that
+    fall strictly inside the range (cuts are global quantiles computed once
+    in plan_batches's pass 2 — no further scans here)."""
     plans = []
     prev = lo
     for c in cuts:
-        if c > prev and c < hi:
+        if prev < c < hi:
             plans.append(BatchPlan("data", prev, c))
             prev = c
     plans.append(BatchPlan("data", prev, hi))

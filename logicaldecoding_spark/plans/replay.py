@@ -275,8 +275,12 @@ def replay(
     table = ensure_table(table_path, initial_schema, pk, n_buckets) if create \
         else LakeTable.load(table_path)
 
-    raw_all = read_wal_log(spark, log_path)
-    plans = plan_batches(raw_all, target_data_batches=n_data_batches,
+    # planning gets the UNPRUNED scan: if the capture carries columnar
+    # op/txid sidecar columns, plan_batches plans without ever reading
+    # payloads.  The generator's `committed` ground-truth column is dropped
+    # here so nothing downstream can cheat with it.
+    plan_raw = spark.read.parquet(log_path).drop("committed")
+    plans = plan_batches(plan_raw, target_data_batches=n_data_batches,
                          parse_mode="proto" if parse_mode == "proto" else "native",
                          source_table=source_table,
                          eager_evolution=eager_evolution)

@@ -17,12 +17,12 @@ replay (SURVEY §2.9 T4): re-applying an already-applied batch compares
 snapshot offsets make it a no-op before even reaching here.
 
 Scale notes:
-* the change-set is materialized ONCE via a spill-safe persist
-  (MEMORY_AND_DISK): the same execution serves touched-bucket discovery
-  (a tiny distinct over the bucket column) and the MERGE join.  The earlier
-  design staged it to a driver-listed parquet directory — an extra full
-  write+read round plus driver filesystem work per batch, i.e. serial time
-  that didn't shrink with cores and local-FS coupling the FileIO seam bans;
+* the wide change-set (full tuples incl. content) is consumed exactly ONCE
+  by the MERGE join when the caller supplies ``touched`` buckets from a
+  narrow source (the replay pipeline derives them from its cached slim
+  pass) — no persist, no second materialization.  Standalone callers
+  without ``touched`` fall back to one spill-safe persist serving both
+  bucket discovery and the join;
 * the join is keyed on the primary key; both sides are unique per key
   (target by construction, source post-compaction), so no key explosion and
   no join skew beyond hashing — AQE handles residual imbalance;
@@ -50,8 +50,31 @@ def merge_into(
     applied_upto_lsn: int,
     batch_id: int,
     extra_metrics: dict | None = None,
+    touched: list[int] | None = None,
+    mode: str = "cow",
 ) -> dict:
-    """Apply one compacted change batch; commit a new snapshot. Returns metrics."""
+    """Apply one compacted change batch; commit a new snapshot. Returns metrics.
+
+    ``mode='mor'`` (merge-on-read) writes EXACTLY the compacted change set
+    as delta files — upserts with full after-images, deletes as tombstone
+    rows — without reading the target at all: per-batch write cost is
+    O(changed keys), the faithful analog of the reference subscriber's
+    HashMap upsert (/root/reference/src/types/mod.rs:64), where COW's is
+    O(touched buckets).  Readers reconcile base+delta by per-key
+    last-writer-wins (table/format.py read), and ``LakeTable.compact``
+    folds deltas back into base files.  The LSN monotone guard is implicit:
+    reconciliation picks the max ``_last_lsn`` version, so re-applied
+    deltas (idempotent replay) collapse to the same state.
+
+    ``touched`` (optional): the change-set's bucket ids, when the caller can
+    compute them from a NARROW source — the replay pipeline derives them
+    from its cached slim (pk-only) pass, so the wide compacted frame (full
+    tuples incl. content) is consumed exactly ONCE by the MERGE join and
+    never persisted.  Materializing it just to list buckets was the single
+    worst 32-core phase (35.9s of a 58.7s replay: full-tuple parse +
+    cache write, memory-bandwidth-bound).  Without ``touched`` the frame is
+    spill-safe-persisted and buckets are discovered from it (standalone
+    callers)."""
     t0 = time.time()
     pk = list(table.pk)
     schema = table.schema
@@ -59,14 +82,51 @@ def merge_into(
     n_buckets = table.n_buckets
 
     phases: dict[str, float] = {}
+    if mode == "mor":
+        delta = compacted.select(
+            *pk,
+            *[F.col(c) for c in data_cols],
+            F.col("lsn").alias("_last_lsn"),
+            F.col("txid").alias("_last_txid"),
+            F.col("op").alias("_op"),
+        ).withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
+        # one delta file per touched bucket per batch
+        delta = delta.repartition("_bucket")
+        t2 = time.time()
+        new_files = table.write_data_files(delta, spark, content="delta")
+        phases["write"] = round(time.time() - t2, 3)
+        rows = sum(f["rows"] for f in new_files)
+        t3 = time.time()
+        table.commit_data(
+            new_files, set(), applied_upto_lsn, batch_id,
+            {"rows_written": rows, "files_written": len(new_files),
+             "merge_mode": "mor", "merge_secs": round(time.time() - t0, 3),
+             **(extra_metrics or {})},
+        )
+        phases["commit"] = round(time.time() - t3, 3)
+        return {
+            "rows_written": rows,
+            "buckets": len({f["bucket"] for f in new_files}),
+            "secs": time.time() - t0,
+            "phases": phases,
+        }
+    if mode != "cow":
+        raise ValueError(f"unknown merge mode {mode!r}")
+
     changes = compacted.withColumn(
         "_bucket", bucket_expr(n_buckets, tuple(pk))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    discover = touched is None
+    if discover:
+        changes = changes.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         t1 = time.time()
-        touched = sorted(
-            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
-        )
+        if discover:
+            touched = sorted(
+                r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+            )
+        else:
+            touched = sorted(int(b) for b in touched)
         phases["discover"] = round(time.time() - t1, 3)
         if not touched:
             table.commit_data([], set(), applied_upto_lsn, batch_id,
@@ -113,7 +173,8 @@ def merge_into(
         new_files = table.write_data_files(result, spark)
         phases["write"] = round(time.time() - t2, 3)
     finally:
-        changes.unpersist()
+        if discover:
+            changes.unpersist()
     t3 = time.time()
     rows = sum(f["rows"] for f in new_files)
     metrics = {

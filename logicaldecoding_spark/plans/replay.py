@@ -8,7 +8,7 @@ The distributed re-expression of the reference's whole pipeline
     -> committed-txn semi-join            | txn assembly       (replication.rs:125-136)
     -> typed projection (epoch schema)    | oneof dispatch     (types/mod.rs:59-62)
     -> per-PK last-writer-wins compaction | HashMap overwrite  (types/mod.rs:64)
-    -> COW MERGE into lake table          | subscriber state   (types/mod.rs:39)
+    -> MERGE into lake table (COW or MoR) | subscriber state   (types/mod.rs:39)
 
 with per-batch atomic snapshot commits carrying the applied-LSN watermark
 (exactly-once + resume) and schema-evolution batches applied to metadata
@@ -68,6 +68,7 @@ def apply_plans(
     slim_provider: Callable[[int | None, int | None], DataFrame] | None = None,
     stop_after_batches: int | None = None,
     batch_id_offset: int = 0,
+    merge_mode: str = "cow",
 ) -> list[dict]:
     """Apply planned batches in order; skip already-applied LSN ranges.
 
@@ -181,6 +182,23 @@ def apply_plans(
             .join(abort_join, "txid", "left_anti")
             .select(*pk, "lsn", "seq")
         )
+        # touched buckets from the cached NARROW pass (pk strings hash to
+        # the same buckets the typed rows will): the wide compacted frame
+        # then flows into the MERGE exactly once, never persisted — its
+        # cache materialization was the worst-scaling 32-core phase.  Only
+        # valid when every pk column is string-typed (slim carries raw
+        # strings; xxhash64 of a typed value differs); otherwise merge
+        # discovers buckets itself.
+        from ..table.format import bucket_expr
+
+        touched = None
+        if all(f.type == "string" for f in schema.fields if f.name in pk):
+            touched = [
+                r["_b"]
+                for r in slim_data.select(
+                    bucket_expr(table.n_buckets, pk).alias("_b")
+                ).distinct().collect()
+            ]
         use_slim = compaction == "slim" or (
             compaction == "auto" and est_keys <= max_broadcast_keys
         )
@@ -204,6 +222,8 @@ def apply_plans(
             compacted,
             applied_upto_lsn=b.lsn_to,
             batch_id=batch_id_offset + i,
+            touched=touched,
+            mode=merge_mode,
             extra_metrics={"lsn_from": b.lsn_from, "lsn_to": b.lsn_to,
                            "parse_mode": parse_mode,
                            "compaction_used": "slim" if use_slim else "full",
@@ -248,11 +268,16 @@ def replay(
     max_broadcast_keys: int = 20_000_000,
     source_table: str | None = None,
     eager_evolution: bool = True,
-    slim_mode: str = "duckdb",
+    # 'auto': same contention profile as parse_mode — duckdb's yyjson wins
+    # per-core up to ~16 concurrent workers, pyarrow scales better past that
+    slim_mode: str = "auto",
     direct_slim_scan: bool = False,
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
+    # 'mor' writes per-batch deltas (O(changed keys), no target read) and
+    # defers merging to readers / LakeTable.compact — see operators/merge.py
+    merge_mode: str = "cow",
 ) -> dict:
     """Replay a captured log into the table; returns run metrics.
 
@@ -264,9 +289,11 @@ def replay(
     from ..dist import ship_package
 
     ship_package(spark)  # executor workers import this package inside UDFs
+    cores = spark.sparkContext.defaultParallelism
     if parse_mode == "auto":
-        cores = spark.sparkContext.defaultParallelism
         parse_mode = "duckdb" if cores <= 16 else "arrow"
+    if slim_mode == "auto":
+        slim_mode = "duckdb" if cores <= 16 else "arrow"
     if parse_mode == "proto":
         # protobuf-wire log: every parse stage decodes RowMessage bytes
         slim_mode = "proto"
@@ -306,6 +333,7 @@ def replay(
         max_broadcast_keys=max_broadcast_keys,
         source_table=source_table,
         stop_after_batches=stop_after_batches,
+        merge_mode=merge_mode,
     )
 
     wall = time.time() - t0

@@ -295,19 +295,25 @@ class LakeTable:
                 else df
             )
 
-        by_schema: dict[int, list[str]] = {}
+        # group files by (schema written under, base|delta).  A manifest
+        # with delta entries (merge-on-read write path) needs read-time
+        # reconciliation: per-key last-writer-wins over base+delta versions,
+        # then tombstone (_op='D') removal.  Pure-base manifests keep the
+        # plain union scan — COW tables pay nothing for MoR's existence.
+        by_group: dict[tuple[int, str], list[str]] = {}
         for m in manifest:
-            by_schema.setdefault(m["schema_id"], []).append(
-                os.path.join(self.path, m["path"])
-            )
+            by_group.setdefault(
+                (m["schema_id"], m.get("content", "base")), []
+            ).append(os.path.join(self.path, m["path"]))
+        has_delta = any(content == "delta" for _, content in by_group)
 
         parts: list[DataFrame] = []
-        for sid, paths in sorted(by_schema.items()):
+        for (sid, content), paths in sorted(by_group.items()):
             file_schema = self.schema_by_id(sid)
-            struct = T.StructType(
-                [*file_schema.to_spark(with_lineage=False).fields, *LINEAGE_FIELDS]
-            )
-            df = spark.read.schema(struct).parquet(*paths)
+            phys = [*file_schema.to_spark(with_lineage=False).fields, *LINEAGE_FIELDS]
+            if content == "delta":
+                phys.append(T.StructField("_op", T.StringType(), True))
+            df = spark.read.schema(T.StructType(phys)).parquet(*paths)
             file_names = {f.name for f in file_schema.fields}
             cols = []
             for f in current.fields:
@@ -316,10 +322,29 @@ class LakeTable:
                 else:
                     cols.append(F.lit(None).cast(out_struct[f.name].dataType).alias(f.name))
             cols += [F.col("_last_lsn"), F.col("_last_txid")]
+            if has_delta:
+                cols.append(
+                    (F.col("_op") if content == "delta" else F.lit("U"))
+                    .alias("_op")
+                )
             parts.append(df.select(*cols))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if has_delta:
+            pk = list(meta["pk"])
+            others = [c for c in df.columns if c not in pk]
+            df = (
+                df.groupBy(*pk)
+                .agg(
+                    F.max_by(
+                        F.struct(*[F.col(c) for c in others]), F.col("_last_lsn")
+                    ).alias("_w")
+                )
+                .select(*pk, "_w.*")
+                .filter(F.col("_op") != "D")
+                .drop("_op")
+            )
         if with_bucket_col:
             df = df.withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
         return df
@@ -396,7 +421,9 @@ class LakeTable:
         new_meta["snapshot"] = snap
         self._write_meta(new_meta)
 
-    def write_data_files(self, result: DataFrame, spark: SparkSession) -> list[dict]:
+    def write_data_files(
+        self, result: DataFrame, spark: SparkSession, content: str = "base"
+    ) -> list[dict]:
         """Write a MERGE result (must carry ``_bucket``) as new data files.
 
         Files are written by Spark directly into a fresh
@@ -451,11 +478,46 @@ class LakeTable:
                     "bucket": int(s["_bucket"]),
                     "spec_id": self.spec_id,
                     "schema_id": schema_id,
+                    "content": content,
                     "rows": int(s["rows"]),
                     "max_lsn": int(s["max_lsn"]) if s["max_lsn"] is not None else None,
                 }
             )
         return new_files
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
+        """Fold merge-on-read delta/tombstone files into fresh base files
+        (the Iceberg/Hudi compaction maintenance op).
+
+        Reads the reconciled state of the target buckets (all by default),
+        rewrites it as base files under the CURRENT partition spec, and
+        replaces every manifest slot those buckets occupy — deltas folded,
+        old-spec files migrated.  The watermark is untouched: compaction
+        changes layout, never state."""
+        target = (
+            sorted(int(b) for b in buckets)
+            if buckets is not None
+            else list(range(self.n_buckets))
+        )
+        df = (
+            self.read(spark, buckets=target)
+            .withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
+            .repartition(max(len(target), 1), "_bucket")
+        )
+        new_files = self.write_data_files(df, spark, content="base")
+        meta = self.metadata(refresh=False)
+        self.commit_data(
+            new_files,
+            self.replaced_entries(target),
+            self.applied_upto_lsn,
+            meta["snapshot"].get("batch_id", -1),
+            {"kind": "compaction", "buckets_compacted": len(target)},
+        )
+        return {
+            "files": len(new_files),
+            "rows": sum(f["rows"] for f in new_files),
+            "buckets": len(target),
+        }
 
     def evolve_partition_spec(self, n_new: int) -> None:
         """Metadata-only partition evolution: grow the bucket count.

@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=16)
     ap.add_argument("--arrow-batch", type=int, default=16384)
     ap.add_argument("--events", type=int, default=0, help="change-event count for ev/s")
+    ap.add_argument("--merge-mode", default="cow")
+    ap.add_argument("--compact-at-end", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--fresh", action="store_true", help="delete the table first")
     ap.add_argument("--warm-log", default=None, help="small log for a warmup replay")
@@ -61,7 +63,12 @@ def main() -> None:
         n_data_batches=args.n_data_batches,
         salt_buckets=args.salt or None,
         resume=args.resume,
+        merge_mode=args.merge_mode,
     )
+    if args.compact_at_end:
+        from logicaldecoding_spark.table.format import LakeTable
+
+        LakeTable.load(args.table).compact(spark)
     wall = time.time() - t0
     out = {
         "wall_secs": round(wall, 3),
@@ -69,6 +76,7 @@ def main() -> None:
         "applied_upto_lsn": run["applied_upto_lsn"],
         "cores": spark.sparkContext.defaultParallelism,
         "parse_mode": args.parse_mode,
+        "merge_mode": args.merge_mode,
     }
     if args.events:
         out["events"] = args.events

@@ -113,7 +113,13 @@ def apply_plans(
             continue
 
         tb0 = time.time()
-        raw = raw_provider(b.lsn_from, b.lsn_to)
+        # clamp the scan's lower bound to the watermark: a resumed replay
+        # whose batch spans (0, max] must cost O(remaining tail), not
+        # O(log) — everything <= applied is already in the table, and the
+        # watermark is always a batch boundary (commit-aligned), so no
+        # transaction straddles the clamp.
+        lo_eff = max(b.lsn_from, applied)
+        raw = raw_provider(lo_eff, b.lsn_to)
         schema = table.schema  # current-at-epoch schema
 
         # ONE narrow pass over the batch: pk-only struct parse pruned to
@@ -127,7 +133,7 @@ def apply_plans(
         if slim_provider is not None:
             # fragment-direct scan: Python workers read the log's Parquet
             # row groups themselves — no JVM->Python payload transfer
-            p = slim_provider(b.lsn_from, b.lsn_to)
+            p = slim_provider(lo_eff, b.lsn_to)
         else:
             p = parse_slim(raw, pk, mode=slim_mode)
         if source_table is not None:

@@ -56,31 +56,42 @@ def drop_oversized_buckets(
     a drop is never silent: the dropped bucket count + row volume is
     warned with the knob to widen.  Exact duplicates should be removed by
     exact_dedup first — identical docs collide in EVERY band, so a clique of
-    them is exactly the degenerate bucket this cap bounds."""
+    them is exactly the degenerate bucket this cap bounds.
+
+    Implementation: the per-bucket size is ONE window pass sharing the
+    join's own (band, bucket) partitioning, cached; the single stats
+    aggregation that logs the drops is the SAME job that materializes that
+    cache — work the downstream self-join (which consumes the frame twice)
+    would have paid anyway, so the check's marginal cost is one job launch,
+    not an extra pass.  (An earlier shape ran a separate groupBy job plus a
+    broadcast anti-join — whole seconds of fixed overhead per operator call
+    at bench scale.)"""
     if max_bucket_size is None:
         return banded
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    over = (
-        banded.groupBy(*keys).count()
-        .filter(F.col("count") > max_bucket_size)
-        .persist()
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    wind = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    st = over.agg(
-        F.count("*").alias("buckets"), F.coalesce(F.sum("count"), F.lit(0)).alias("rows")
+    st = wind.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_bn") > max_bucket_size, F.lit(1))), F.lit(0)
+        ).alias("dropped_rows"),
+        F.coalesce(F.max("_bn"), F.lit(0)).alias("max_bucket"),
     ).collect()[0]
-    if st["buckets"]:
-        import warnings
+    if st["dropped_rows"]:
+        import logging
 
-        warnings.warn(
-            f"{label}: dropped {st['buckets']} LSH bucket(s) over cap "
-            f"{max_bucket_size} covering {st['rows']} rows; members keep "
-            "their other bands/tables — raise max_bucket_size or add "
-            "bands/tables to restore recall for these",
-            stacklevel=3,
+        logging.getLogger("logicaldecoding_spark.lsh").warning(
+            "%s: dropped %d candidate rows in LSH buckets over cap %d "
+            "(largest bucket: %d); members keep their other bands/tables — "
+            "raise max_bucket_size or add bands/tables to restore recall "
+            "for these",
+            label, st["dropped_rows"], max_bucket_size, st["max_bucket"],
         )
-    return banded.join(F.broadcast(over.select(*keys)), list(keys), "left_anti")
+    return wind.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"

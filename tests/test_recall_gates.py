@@ -213,11 +213,13 @@ def test_driver_ann_equals_bruteforce_exact(spark, emb, name):
     )
 
 
-def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     """10k identical-signature docs put 10k rows in every band bucket; the
-    cap must bound the candidate join (and warn) instead of emitting ~5e7
-    pairs per band.  Exact duplicates remain exact_dedup's job — it finds
-    the whole clique with one hash aggregation."""
+    cap must bound the candidate join (and log the drop) instead of
+    emitting ~5e7 pairs per band.  Exact duplicates remain exact_dedup's
+    job — it finds the whole clique with one hash aggregation."""
+    import logging
+
     from logicaldecoding_spark.operators.dedup import (
         exact_dedup,
         minhash_dedup_pairs,
@@ -227,10 +229,13 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
         F.col("id").alias("doc_id"),
         F.lit("identical boilerplate text " * 20).alias("text"),
     )
-    with pytest.warns(UserWarning, match="over cap"):
+    with caplog.at_level(logging.WARNING, logger="logicaldecoding_spark.lsh"):
         pairs = minhash_dedup_pairs(docs, threshold=0.6, shingle_k=5,
                                     max_bucket_size=100)
         n = pairs.count()
     assert n == 0  # every bucket was degenerate -> dropped, join bounded
+    assert any("over cap" in r.getMessage() for r in caplog.records), (
+        "drop was silent: no over-cap log record"
+    )
     top = exact_dedup(docs).agg(F.max("n_copies").alias("m")).collect()[0]
     assert top["m"] == 10_000

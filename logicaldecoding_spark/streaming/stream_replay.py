@@ -113,6 +113,10 @@ def stream_replay(
     max_files_per_trigger: int | None = None,
     keep_pending_epochs: int = 3,
     strict_order: bool = False,
+    # 'mor' is the natural live-tail mode: each micro-batch appends
+    # O(changed keys) delta files instead of rewriting touched buckets;
+    # run LakeTable.compact periodically (see operators/merge.py)
+    merge_mode: str = "cow",
 ):
     """Start the streaming replay; returns the StreamingQuery.
 
@@ -252,6 +256,7 @@ def stream_replay(
                     parse_mode=parse_mode,
                     salt_buckets=salt_buckets,
                     batch_id_offset=epoch * 1000,
+                    merge_mode=merge_mode,
                 )
             status.unpersist()
             # prune sidecars older than the retention window

@@ -600,6 +600,13 @@ class LakeTable:
         scan = self.read(spark, buckets=want)
         return scan.join(F.broadcast(key_df), on=pk, how="left_semi")
 
+    def retrieve(self, spark: SparkSession, key: tuple):
+        """Single-key point read -> Row or None — ``Tenant::retrieve``
+        (/root/reference/src/types/tenant/mod.rs:33-39); ``lookup`` is the
+        ``retrieve_many`` (:41-48) analog."""
+        rows = self.lookup(spark, [key]).collect()
+        return rows[0] if rows else None
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop metadata of old snapshots, keeping the newest ``keep_last``

@@ -90,3 +90,44 @@ def test_mor_delete_then_reinsert_and_mixed_with_cow(spark, tmp_path):
                applied_upto_lsn=11, batch_id=3, mode="cow")
     got = {r["path"]: r["content"] for r in t.read(spark).collect()}
     assert got == {"a": "z", "b": "y2"}
+
+
+def test_streaming_mor_converges_and_compacts(spark, small_log, small_oracle, tmp_path):
+    """Live-tail MoR: the streaming consumer appends delta files per
+    micro-batch; compaction folds them; state matches the oracle."""
+    from logicaldecoding_spark.generator import split_log_dir
+    from logicaldecoding_spark.streaming.stream_replay import stream_replay
+
+    path, _ = small_log
+    oracle_state, _ = small_oracle
+    log_dir = str(tmp_path / "log_dir")
+    split_log_dir(path, log_dir, n_files=6)
+    table_path = str(tmp_path / "t")
+    q = stream_replay(spark, log_dir, table_path, str(tmp_path / "ckpt"),
+                      n_buckets=8, parse_mode="native", max_files_per_trigger=2,
+                      merge_mode="mor")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = LakeTable.load(table_path)
+    assert "delta" in _contents(t)
+    assert_converged(spark, table_path, oracle_state)
+    t.compact(spark)
+    assert _contents(LakeTable.load(table_path)) == {"base"}
+    assert_converged(spark, table_path, oracle_state)
+
+
+def test_retrieve_point_read(spark, tmp_path):
+    from logicaldecoding_spark.operators.merge import merge_into
+    from logicaldecoding_spark.schema import REPOS_INITIAL_SCHEMA
+
+    t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA, n_buckets=4)
+    rows = spark.createDataFrame(
+        [("r", "a", "c1", "py", "x", "I", 1, 0, 1)],
+        "repo string, path string, commit string, lang string, content string,"
+        " op string, lsn long, seq int, txid long")
+    merge_into(spark, t, rows, applied_upto_lsn=1, batch_id=0)
+    got = t.retrieve(spark, ("r", "a"))
+    assert got is not None and got["commit"] == "c1"
+    assert t.retrieve(spark, ("r", "missing")) is None

@@ -84,3 +84,82 @@ def test_proto_log_replay_converges(spark, tmp_path):
     oracle_state, _ = replay_oracle(log)
     assert oracle_state, "oracle produced empty state"
     assert_converged(spark, table_path, oracle_state)
+
+
+# ---------------------------------------------------------------------------
+# property-based wire-format roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    _name = st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                               exclude_categories=("Cs",)),
+        min_size=1, max_size=20,
+    )
+    _text = st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                               exclude_categories=("Cs",)),
+        max_size=200,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        txid=st.integers(min_value=0, max_value=2**32 - 1),
+        ct=st.integers(min_value=0, max_value=2**63 - 1),
+        op=st.sampled_from(["I", "U", "D", "B", "C"]),
+        table=st.one_of(st.none(), _name),
+        new=st.dictionaries(_name, st.one_of(st.none(), _text), max_size=6),
+        old=st.dictionaries(_name, st.one_of(st.none(), _text), max_size=4),
+    )
+    def test_row_message_roundtrip_property(txid, ct, op, table, new, old):
+        """decode(encode(x)) reproduces the canonical event for arbitrary
+        txids/timestamps/column names/values incl. full unicode; None
+        values (datum_missing) fold to absent keys."""
+        if op in ("B", "C"):
+            new, old, table = {}, {}, None
+        ev = decode_row_message(encode_row_message(
+            txid=txid, commit_time_us=ct, op=op, table=table, new=new, old=old,
+        ))
+        assert ev["txid"] == txid and ev["ct"] == ct and ev["op"] == op
+        assert ev["table"] == table
+        want_new = {k: v for k, v in new.items() if v is not None} or None
+        want_old = {k: v for k, v in old.items() if v is not None} or None
+        assert ev["new"] == want_new
+        assert ev["old"] == want_old
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        kind_val=st.one_of(
+            st.tuples(st.just("int32"), st.integers(-2**31, 2**31 - 1)),
+            st.tuples(st.just("int64"), st.integers(-2**63, 2**63 - 1)),
+            st.tuples(st.just("bool"), st.booleans()),
+            st.tuples(st.just("string"), _text),
+            st.tuples(st.just("bytes"), st.binary(max_size=64)),
+            st.tuples(st.just("double"),
+                      st.floats(allow_nan=False, allow_infinity=False)),
+        ),
+        name=_name,
+    )
+    def test_datum_roundtrip_property(kind_val, name):
+        import base64
+
+        kind, val = kind_val
+        got_name, got = decode_datum(encode_datum(name, val, kind))
+        assert got_name == name
+        if kind in ("int32", "int64"):
+            assert got == str(val)
+        elif kind == "bool":
+            assert got == ("true" if val else "false")
+        elif kind == "string":
+            assert got == val
+        elif kind == "bytes":
+            assert got == base64.b64encode(val).decode()
+        elif kind == "double":
+            assert float(got) == val

@@ -131,3 +131,30 @@ def test_retrieve_point_read(spark, tmp_path):
     got = t.retrieve(spark, ("r", "a"))
     assert got is not None and got["commit"] == "c1"
     assert t.retrieve(spark, ("r", "missing")) is None
+
+
+def test_cow_read_plan_pays_nothing_for_mor(spark, tmp_path):
+    """A pure-base manifest must keep the plain union scan — no aggregate,
+    no shuffle added by merge-on-read's existence; a delta-carrying manifest
+    reconciles with ONE aggregation (no join, no cartesian)."""
+    from logicaldecoding_spark.operators.merge import merge_into
+    from logicaldecoding_spark.schema import REPOS_INITIAL_SCHEMA
+
+    def _c(rows):
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string,"
+            " content string, op string, lsn long, seq int, txid long",
+        )
+
+    t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA, n_buckets=4)
+    merge_into(spark, t, _c([("r", "a", "c1", "py", "x", "I", 1, 0, 1)]),
+               applied_upto_lsn=1, batch_id=0)
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan and "aggregate" not in plan.lower()
+
+    merge_into(spark, t, _c([("r", "b", "c2", "py", "y", "I", 5, 0, 2)]),
+               applied_upto_lsn=5, batch_id=1, mode="mor")
+    plan2 = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2
+    assert "max_by" in plan2 or "HashAggregate" in plan2 or "ObjectHashAggregate" in plan2

@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--log", required=True)
     ap.add_argument("--table", required=True)
     ap.add_argument("--parse-mode", default="auto")
+    ap.add_argument("--slim-mode", default="auto")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--n-data-batches", type=int, default=1)
     ap.add_argument("--salt", type=int, default=0)
@@ -59,6 +60,7 @@ def main() -> None:
         args.log,
         args.table,
         parse_mode=args.parse_mode,
+        slim_mode=args.slim_mode,
         n_buckets=args.n_buckets,
         n_data_batches=args.n_data_batches,
         salt_buckets=args.salt or None,

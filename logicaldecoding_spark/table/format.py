@@ -269,6 +269,13 @@ class LakeTable:
         physical schema, then projected/cast to the current one (missing
         column -> NULL, widened type -> upcast) — read-time evolution by
         field id, as the Iceberg spec prescribes.
+
+        Contract note: with ``buckets`` the result is a SUPERSET of the
+        wanted buckets' rows — a file written under an older (smaller)
+        partition spec spans several current buckets and is returned whole.
+        Key-exact consumers filter themselves (``lookup`` semi-joins its
+        key list; MERGE's full-outer join passes extra rows through as
+        keep-and-rewrite, which is precisely the lazy spec migration).
         """
         meta = _meta_override if _meta_override is not None else self.metadata()
         current = TableSchema.from_json(meta["schema"])

@@ -222,6 +222,7 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
 
     from logicaldecoding_spark.operators.dedup import (
         exact_dedup,
+        flush_lsh_cap_stats,
         minhash_dedup_pairs,
     )
 
@@ -229,11 +230,16 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
         F.col("id").alias("doc_id"),
         F.lit("identical boilerplate text " * 20).alias("text"),
     )
+    flush_lsh_cap_stats()  # clear pending stats from earlier tests
     with caplog.at_level(logging.WARNING, logger="logicaldecoding_spark.lsh"):
         pairs = minhash_dedup_pairs(docs, threshold=0.6, shingle_k=5,
                                     max_bucket_size=100)
         n = pairs.count()
+        # drop accounting is deferred off the operator's critical path
+        # (round-4): the flush evaluates + logs it on demand
+        stats = flush_lsh_cap_stats()
     assert n == 0  # every bucket was degenerate -> dropped, join bounded
+    assert any(s["dropped_rows"] > 0 for s in stats)
     assert any("over cap" in r.getMessage() for r in caplog.records), (
         "drop was silent: no over-cap log record"
     )

@@ -172,14 +172,21 @@ def test_fileio_seam_carries_all_table_io(spark, tmp_path):
     ops = {name for name, _ in io.calls}
     # the commit protocol's primitives all flowed through the seam
     assert {"write_text_exclusive", "write_text_atomic", "read_text"} <= ops
-    # and the commit path touches NO data files driver-side: per-file stats
-    # come from a distributed agg, not a listdir/footer walk (round-3)
-    data_touches = [
+    # and the commit path reads NO data-file contents driver-side: per-file
+    # stats come from a distributed footer pass (round-4); the only
+    # driver-side data touch is ONE seam listing of the just-written batch
+    # directory (bounded by the batch's file count, never table size)
+    footer_touches = [
         (name, arg) for name, arg in io.calls
-        if name in ("listdir", "parquet_metadata", "list_files")
-        and "/data" in str(arg)
+        if name == "parquet_metadata" and "/data" in str(arg)
     ]
-    assert not data_touches, data_touches
+    assert not footer_touches, footer_touches
+    listings = [
+        (name, arg) for name, arg in io.calls
+        if name in ("listdir", "list_files") and "/data" in str(arg)
+    ]
+    assert all("/data/batch-" in str(arg) for _, arg in listings), listings
+    assert len(listings) <= 1, listings
     t2 = LakeTable.load(path, io=io)
     assert t2.read(spark).count() == 1
 
@@ -272,3 +279,30 @@ def test_replay_converges_across_partition_evolution(spark, small_log, small_ora
            n_data_batches=4, resume=True)
     assert_converged(spark, table_path, oracle_state)
     assert LakeTable.load(table_path).n_buckets == 16
+
+
+def test_lookup_typed_nonstring_pk(spark, tmp_path):
+    """Bucket pruning for lookup must hash keys at the table's pk TYPES:
+    xxhash64 of a long differs from xxhash64 of its string rendering, so an
+    all-string key frame would prune to the wrong buckets and silently
+    return empty for any non-string pk (ADVICE r3)."""
+    from logicaldecoding_spark.schema import TableSchema
+    from logicaldecoding_spark.table.format import LakeTable
+
+    schema = TableSchema.initial(
+        [("id", "long", False), ("val", "string", True)]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), schema, pk=("id",), n_buckets=8)
+    rows = spark.createDataFrame(
+        [(i, f"v{i}", "I", i + 1, 0, 1) for i in range(50)],
+        "id long, val string, op string, lsn long, seq int, txid long",
+    )
+    merge_into(spark, t, rows, applied_upto_lsn=50, batch_id=0)
+
+    got = t.lookup(spark, [(7,), (23,)]).collect()
+    assert {r["id"]: r["val"] for r in got} == {7: "v7", 23: "v23"}
+    assert t.retrieve(spark, (7,))["val"] == "v7"
+    assert t.retrieve(spark, (999,)) is None
+    # and the lookup still prunes: fewer files scanned than a full read
+    assert len(t.lookup(spark, [(7,)]).inputFiles()) < \
+        len(t.read(spark).inputFiles())

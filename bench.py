@@ -37,18 +37,24 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def bench_log_path(sf: float, cache_dir: str | None = None) -> tuple[str, dict]:
+def bench_log_path(sf: float, cache_dir: str | None = None,
+                   tuple_sidecar: bool = False) -> tuple[str, dict]:
     """Deterministic cached WAL log sized by sf.  sf=0.1 -> ~2.4M change events.
 
     Schema-evolution events sit early in the log (1/2/3% of txns) so the bulk
     of the replay is one large epoch — the shape a steady-state CDC pipeline
-    has (schema changes are rare barriers, not periodic splits)."""
+    has (schema changes are rare barriers, not periodic splits).
+
+    ``tuple_sidecar`` generates the archiver's fully-decoded capture shape
+    (key columns + new/old tuple maps beside the wire payload) under its own
+    cache key; the payload-only log stays the round-comparable baseline."""
     from logicaldecoding_spark.generator import SchemaChangeSpec
 
     n_txns = max(2000, int(4_800_000 * sf))
     cache = cache_dir or os.path.join(REPO, ".bench")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"wal_v2_t{n_txns}.parquet")
+    tag = "wal_v3sc" if tuple_sidecar else "wal_v2"
+    path = os.path.join(cache, f"{tag}_t{n_txns}.parquet")
     meta_path = path + ".meta.json"
     if os.path.exists(path) and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -66,10 +72,53 @@ def bench_log_path(sf: float, cache_dir: str | None = None) -> tuple[str, dict]:
             SchemaChangeSpec(3 * n_txns // 100, "widen_type", "size", "long"),
         ],
         chunk_txns=200_000,
+        tuple_sidecar=tuple_sidecar,
     )
     with open(meta_path, "w") as f:
         json.dump(stats, f)
     return path, stats
+
+
+def _prev_round_bench() -> dict | None:
+    """Latest committed BENCH_r{N}.json, for self-reported round deltas
+    (r3 verdict ask #8: regressions must be visible in the bench output
+    itself, not only in the judge's diff)."""
+    import re
+
+    best = None
+    for fn in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, fn)
+    if best is None:
+        return None
+    try:
+        with open(os.path.join(REPO, best[1])) as f:
+            data = json.load(f)
+        return {"round": best[0], "parsed": data.get("parsed") or data}
+    except (OSError, ValueError):
+        return None
+
+
+def _deltas(cur: dict, prev: dict) -> dict:
+    """Per-metric deltas vs the previous round (negative secs = faster)."""
+    out: dict = {}
+    if isinstance(prev.get("value"), (int, float)):
+        out["wall_secs"] = round(cur["value"] - prev["value"], 3)
+    if isinstance(prev.get("events_per_sec"), (int, float)):
+        out["events_per_sec"] = round(
+            cur["events_per_sec"] - prev["events_per_sec"], 1
+        )
+    pq = prev.get("queries") or {}
+    out["queries"] = {
+        q: round(cur["queries"][q] - pq[q], 3)
+        for q in cur.get("queries", {})
+        if isinstance(pq.get(q), (int, float))
+    }
+    return out
 
 
 def run_replay(spark, log_path: str, table_path: str, parse_mode: str,
@@ -115,12 +164,21 @@ def main() -> None:
     warm_log, _ = bench_log_path(0.001)
     run_replay(spark, warm_log, warm_table, parse_mode)
 
-    # --- headline: CDC replay on a fresh table ---
+    # --- headline: CDC replay on a fresh table (payload wire, the
+    # round-over-round comparable number) ---
     table_path = os.path.join(REPO, ".bench", f"table_{cpus}_{parse_mode}")
     shutil.rmtree(table_path, ignore_errors=True)
     run = run_replay(spark, log_path, table_path, parse_mode)
     events = stats["data_events"]
     eps = events / run["wall_secs"]
+
+    # --- capability: same replay over the tuple-sidecar capture shape
+    # (archiver pre-decodes; engine runs JVM-only, zero payload decode) ---
+    sc_log, sc_stats = bench_log_path(sf, tuple_sidecar=True)
+    sc_table = os.path.join(REPO, ".bench", f"table_{cpus}_sidecar")
+    shutil.rmtree(sc_table, ignore_errors=True)
+    sc_run = run_replay(spark, sc_log, sc_table, "auto")
+    sc_eps = sc_stats["data_events"] / sc_run["wall_secs"]
 
     # --- headline operator queries at the sf dir ---
     import __spark_entry__ as entry_mod
@@ -142,12 +200,18 @@ def main() -> None:
         "unit": "sec",
         "events": events,
         "events_per_sec": round(eps, 1),
+        "sidecar_wall": round(sc_run["wall_secs"], 3),
+        "sidecar_events_per_sec": round(sc_eps, 1),
         "log_rows": stats["rows"],
         "parse_mode": parse_mode,
         "cpus": cpus,
         "queries": query_secs,
         "sf": sf,
     }
+    prev = _prev_round_bench()
+    if prev:
+        out["prev_round"] = prev["round"]
+        out["delta_vs_prev"] = _deltas(out, prev["parsed"])
     spark.stop()
     print(json.dumps(out))
 

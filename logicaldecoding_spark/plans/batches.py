@@ -30,6 +30,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# above this many R txids the per-txid conditional aggregates would bloat
+# one aggregate's column count; marker bounds switch to a groupBy("txid")
+_MAX_FUSED_R_TXIDS = 200
+
+
 @dataclass(frozen=True)
 class BatchPlan:
     kind: str  # 'data' | 'schema'
@@ -74,10 +79,14 @@ def plan_batches(
     bounds are all column-pruned scans over (lsn, op, txid), and Parquet
     dictionary/row-group filtering skips whole row groups for the rare-R
     filter.  Without the sidecar (payload-only logs, e.g. the streaming
-    file source), planning falls back to exactly TWO payload passes: one
-    aggregation collecting bounds + R candidates via a substring/byte
-    prefilter, and one aggregation computing commit quantiles + per-R-txid
-    marker bounds with conditional substring aggregates.  (An earlier shape
+    file source), planning falls back to exactly TWO payload passes: a
+    substring/byte-prefiltered R-candidate collect BOUNDED inside the scan
+    (filter + limit — an adversarial log can never build an unbounded
+    driver-side aggregate row; lsn bounds are a separate column-pruned agg
+    reading no payload pages), and one aggregation computing commit
+    quantiles + per-R-txid marker bounds with conditional substring
+    aggregates (above _MAX_FUSED_R_TXIDS, a shape-stable groupBy over
+    marker rows instead).  (An earlier shape
     ran four payload scans — measured 107s of a 244s 2-core replay at 30M
     events.)  The generator's ``committed`` column is ground truth for
     tests and is deliberately NEVER read here — commit status always comes
@@ -114,25 +123,27 @@ def plan_batches(
             .limit(100_001).collect()
         )
     else:
-        # ---- payload pass 1: bounds + R-candidate collection -------------
-        # R events are rare BY DESIGN (schema changes); the guard keeps an
-        # adversarial log from flooding the driver.
+        # ---- payload pass 1: R-candidate collection ----------------------
+        # R events are rare BY DESIGN (schema changes).  The guard is bound
+        # INSIDE the scan (filter + limit), so an adversarial/multi-table
+        # log full of substring matches tops out at 100_001 driver rows —
+        # it can never build an unbounded collect_list aggregate row first
+        # (ADVICE r3).  Bounds are a separate lsn-only column-pruned agg
+        # (reads no payload pages), keeping this at two payload passes.
         r_marker = (
             F.col("payload").contains(F.lit(b"__schema__"))
             if is_proto
             else F.col("payload").contains('"op":"R"')
         )
-        st = raw.agg(
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-            F.collect_list(
-                F.when(r_marker, F.struct(F.col("lsn"), F.col("payload")))
-            ).alias("r_cand"),
-        ).collect()[0]
-        if st["hi"] is None:
+        bounds = raw.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+                         ).collect()[0]
+        if bounds["hi"] is None:
             return []
-        max_lsn = int(st["hi"])
-        r_cand = st["r_cand"]
+        max_lsn = int(bounds["hi"])
+        r_cand = (
+            raw.filter(r_marker).select("lsn", "payload")
+            .limit(100_001).collect()
+        )
     if len(r_cand) > 100_000:
         raise ValueError(
             f"{len(r_cand)} schema-change candidate events: schema "
@@ -188,6 +199,13 @@ def plan_batches(
 
             def txm(t):
                 return F.col("payload").contains(f'"txid":{t},')
+        # Two conditional aggregate columns per R txid is the FUSED shape
+        # (one pass shared with the cut quantiles) but grows the aggregate
+        # 2x per txid — Catalyst/codegen degrades far below the 100k R cap
+        # (ADVICE r3).  Past a small count, switch to a shape-stable
+        # groupBy("txid") over marker rows pruned by a broadcast semi-join
+        # (one extra scan, but only on pathological many-R logs).
+        few_r = len(r_txids) <= _MAX_FUSED_R_TXIDS
         aggs = []
         if want_cuts:
             qs = [i / target_data_batches for i in range(1, target_data_batches)]
@@ -196,21 +214,52 @@ def plan_batches(
                     F.when(is_c, lsn_c), qs, 10_000
                 ).alias("_cuts")
             )
-        # conjunction order matters on the payload path: the marker test
-        # (one substring) runs first so the per-txid substring only
-        # evaluates on marker rows
-        for t in r_txids:
-            aggs.append(F.min(F.when(is_b & txm(t), lsn_c)).alias(f"_b{t}"))
-            aggs.append(F.max(F.when(is_c & txm(t), lsn_c)).alias(f"_c{t}"))
-        row = base.agg(*aggs).collect()[0]
-        if want_cuts and row["_cuts"] is not None:
-            cuts = sorted({int(c) for c in row["_cuts"] if c is not None})
-        for t in r_txids:
-            b, c = row[f"_b{t}"], row[f"_c{t}"]
-            tx_bounds[t] = (
-                int(b) if b is not None else None,
-                int(c) if c is not None else None,
+        if few_r:
+            # conjunction order matters on the payload path: the marker test
+            # (one substring) runs first so the per-txid substring only
+            # evaluates on marker rows
+            for t in r_txids:
+                aggs.append(F.min(F.when(is_b & txm(t), lsn_c)).alias(f"_b{t}"))
+                aggs.append(F.max(F.when(is_c & txm(t), lsn_c)).alias(f"_c{t}"))
+        if aggs:
+            row = base.agg(*aggs).collect()[0]
+            if want_cuts and row["_cuts"] is not None:
+                cuts = sorted({int(c) for c in row["_cuts"] if c is not None})
+            if few_r:
+                for t in r_txids:
+                    b, c = row[f"_b{t}"], row[f"_c{t}"]
+                    tx_bounds[t] = (
+                        int(b) if b is not None else None,
+                        int(c) if c is not None else None,
+                    )
+        if r_txids and not few_r:
+            spark = raw.sparkSession
+            tx_df = spark.createDataFrame(
+                [(int(t),) for t in r_txids], "txid long"
             )
+            if has_sidecar or is_proto:
+                mk = base.filter(is_b | is_c).select(
+                    "txid", lsn_c.alias("_lsn"), is_b.alias("_isb")
+                )
+            else:
+                mk = base.filter(is_b | is_c).select(
+                    F.get_json_object("payload", "$.txid").cast("long")
+                    .alias("txid"),
+                    lsn_c.alias("_lsn"), is_b.alias("_isb"),
+                )
+            for rr in (
+                mk.join(F.broadcast(tx_df), "txid", "left_semi")
+                .groupBy("txid")
+                .agg(
+                    F.min(F.when(F.col("_isb"), F.col("_lsn"))).alias("b"),
+                    F.max(F.when(~F.col("_isb"), F.col("_lsn"))).alias("c"),
+                )
+                .collect()
+            ):
+                tx_bounds[int(rr["txid"])] = (
+                    int(rr["b"]) if rr["b"] is not None else None,
+                    int(rr["c"]) if rr["c"] is not None else None,
+                )
 
     def _r_span(lsn: int, txid: int) -> tuple[int, int] | None:
         """(begin_lsn-1 exclusive, commit_lsn inclusive] of the R's txn, or

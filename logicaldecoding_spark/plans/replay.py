@@ -263,10 +263,12 @@ def replay(
     initial_schema: TableSchema | None = None,
     pk: tuple[str, ...] = REPOS_PK,
     n_buckets: int = 64,
-    # 'auto' resolves by measured contention profile: duckdb's yyjson parse
-    # wins per-core up to ~16 concurrent workers; past that its allocator
-    # contends and the pyarrow C++ reader scales better (A/B on the 30M-
-    # event log: 8 cores 53s duckdb vs 62s arrow; 32 cores 43s vs 33s).
+    # 'auto' prefers the capture's own decoded columns ('sidecar': zero
+    # payload decode, zero Python workers) when present; otherwise resolves
+    # by measured contention profile: duckdb's yyjson parse wins per-core up
+    # to ~16 concurrent workers; past that its allocator contends and the
+    # pyarrow C++ reader scales better (A/B on the 30M-event log: 8 cores
+    # 53s duckdb vs 62s arrow; 32 cores 43s vs 33s).
     parse_mode: str = "auto",
     n_data_batches: int = 1,
     salt_buckets: int | None = None,
@@ -296,14 +298,37 @@ def replay(
 
     ship_package(spark)  # executor workers import this package inside UDFs
     cores = spark.sparkContext.defaultParallelism
+
+    # planning gets the UNPRUNED scan: if the capture carries columnar
+    # op/txid sidecar columns, plan_batches plans without ever reading
+    # payloads.  The generator's `committed` ground-truth column is dropped
+    # here so nothing downstream can cheat with it.
+    plan_raw = spark.read.parquet(log_path).drop("committed")
+
+    # tuple sidecar: the capture already carries the DECODED event as
+    # columns (key cols + new/old tuple maps) beside the wire payload — the
+    # shape an archiver that fully decodes messages writes.  Replay then
+    # never re-decodes payloads: the slim pass is a pure column-pruned scan
+    # and the winner parse a JVM-side projection (no Python workers at all).
+    sidecar_cols = ("lsn", "txid", "seq", "commit_time_us", "op", "table",
+                    *pk, "new_tuple", "old_tuple")
+    has_tuple_sidecar = set(sidecar_cols) <= set(plan_raw.columns)
     if parse_mode == "auto":
-        parse_mode = "duckdb" if cores <= 16 else "arrow"
+        parse_mode = (
+            "sidecar" if has_tuple_sidecar
+            else ("duckdb" if cores <= 16 else "arrow")
+        )
+    if parse_mode == "sidecar" and not has_tuple_sidecar:
+        raise ValueError(
+            "parse_mode='sidecar' needs a tuple-sidecar capture "
+            f"(columns {sidecar_cols}); this log lacks them"
+        )
     if slim_mode == "auto":
         # unlike the FULL parse, the pk-pruned slim parse does NOT hit
         # duckdb's high-concurrency allocator contention (measured at 32
         # cores on the 30M-event log: slim duckdb 9.4s vs arrow 17.1s;
         # whole replay 30.7s vs 33.8s) — duckdb wins at every core count
-        slim_mode = "duckdb"
+        slim_mode = "sidecar" if parse_mode == "sidecar" else "duckdb"
     if parse_mode == "proto":
         # protobuf-wire log: every parse stage decodes RowMessage bytes
         slim_mode = "proto"
@@ -311,12 +336,6 @@ def replay(
             raise ValueError("direct_slim_scan supports JSON-wire logs only")
     table = ensure_table(table_path, initial_schema, pk, n_buckets) if create \
         else LakeTable.load(table_path)
-
-    # planning gets the UNPRUNED scan: if the capture carries columnar
-    # op/txid sidecar columns, plan_batches plans without ever reading
-    # payloads.  The generator's `committed` ground-truth column is dropped
-    # here so nothing downstream can cheat with it.
-    plan_raw = spark.read.parquet(log_path).drop("committed")
     plans = plan_batches(plan_raw, target_data_batches=n_data_batches,
                          parse_mode="proto" if parse_mode == "proto" else "native",
                          source_table=source_table,
@@ -330,11 +349,13 @@ def replay(
             spark, log_path, table.pk, lsn_from=lo, lsn_to=hi
         )
 
+    raw_columns = sidecar_cols if parse_mode == "sidecar" else ("lsn", "payload")
     metrics = apply_plans(
         spark,
         table,
         plans,
-        lambda lo, hi: read_wal_log(spark, log_path, lsn_from=lo, lsn_to=hi),
+        lambda lo, hi: read_wal_log(spark, log_path, lsn_from=lo, lsn_to=hi,
+                                    columns=raw_columns),
         slim_provider=slim_provider,
         parse_mode=parse_mode,
         slim_mode=slim_mode,

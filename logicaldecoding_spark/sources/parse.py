@@ -56,6 +56,21 @@ _MAP_T = pa.map_(pa.string(), pa.string())
 _CHANGE_T = pa.struct(
     [("kind", pa.string()), ("column", pa.string()), ("type", pa.string())]
 )
+# decoderbufs' per-column schema metadata channel (repeated TypeInfo,
+# /root/reference/src/pg_logicaldec.proto:37-40,49): preserved as a column
+# so foreign-wire interop never silently loses it; NULL on the JSON wire,
+# which has no typeinfo field
+_TYPEINFO_T = pa.list_(
+    pa.struct([("modifier", pa.string()), ("value_optional", pa.bool_())])
+)
+TYPEINFO_SPARK_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("modifier", T.StringType()),
+            T.StructField("value_optional", T.BooleanType()),
+        ]
+    )
+)
 _OUT_ARROW_SCHEMA = pa.schema(
     [
         ("lsn", pa.int64()),
@@ -67,6 +82,7 @@ _OUT_ARROW_SCHEMA = pa.schema(
         ("new_tuple", _MAP_T),
         ("old_tuple", _MAP_T),
         ("schema_change", _CHANGE_T),
+        ("new_typeinfo", _TYPEINFO_T),
     ]
 )
 
@@ -81,6 +97,7 @@ _OUT_SPARK_SCHEMA = T.StructType(
         T.StructField("new_tuple", T.MapType(T.StringType(), T.StringType())),
         T.StructField("old_tuple", T.MapType(T.StringType(), T.StringType())),
         T.StructField("schema_change", SCHEMA_CHANGE_TYPE),
+        T.StructField("new_typeinfo", TYPEINFO_SPARK_TYPE),
     ]
 )
 
@@ -206,6 +223,7 @@ def _parse_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 _struct_to_map(col("new"), n),
                 _struct_to_map(col("old"), n),
                 _change_struct(col("change"), n),
+                pa.nulls(n, _TYPEINFO_T),  # JSON wire carries no typeinfo
             ],
             schema=_OUT_ARROW_SCHEMA,
         )
@@ -258,7 +276,10 @@ def _duckdb_full_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
             f"""
             SELECT lsn, j.txid, j.seq, j.ct AS commit_time_us, j.op,
                    j."table", j.new AS new_tuple, j.old AS old_tuple,
-                   j.change AS schema_change
+                   j.change AS schema_change,
+                   CAST(NULL AS STRUCT(modifier VARCHAR,
+                                       value_optional BOOLEAN)[])
+                       AS new_typeinfo
             FROM (SELECT lsn,
                          json_transform(payload, '{_DUCKDB_FULL_SCHEMA}') AS j
                   FROM _b)
@@ -493,7 +514,13 @@ def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
     reader (one batch = one parse, explicit pruned schema, unexpected
     fields ignored); ``'native'`` stays JVM-side via from_json;
     ``'proto'`` decodes RowMessage wire bytes and projects the slim
-    columns (no skip-scan fast path without a C protobuf lib)."""
+    columns (no skip-scan fast path without a C protobuf lib);
+    ``'sidecar'`` reads the capture's own key columns — a pure
+    column-pruned Parquet scan (lsn, txid, seq, op, table, pk), the only
+    slim pass that never touches tuple bytes at all."""
+    if mode == "sidecar":
+        return raw.select("lsn", "txid", F.col("seq").cast("int").alias("seq"),
+                          "op", "table", *pk)
     if mode == "proto":
         ev = parse_events(raw, mode="proto")
         return ev.select(
@@ -551,7 +578,13 @@ def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
 def parse_markers(raw: DataFrame, mode: str = "json") -> DataFrame:
     """Minimal parse for txn classification: (lsn, txid, op) only."""
     if mode == "proto":
-        return parse_events(raw, mode="proto").select("lsn", "txid", "op")
+        from .proto import proto_marker_batches
+
+        # header-only decode: fields 5/6/7 are length-skipped, never parsed
+        return raw.select("lsn", "payload").mapInArrow(
+            proto_marker_batches,
+            "lsn long, txid long, op string",
+        )
     sch = T.StructType(
         [T.StructField("txid", T.LongType()), T.StructField("op", T.StringType())]
     )
@@ -563,10 +596,32 @@ def parse_markers(raw: DataFrame, mode: str = "json") -> DataFrame:
 
 def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
     """(lsn, payload) -> (lsn, txid, seq, commit_time_us, op, table,
-    new_tuple, old_tuple, schema_change).
+    new_tuple, old_tuple, schema_change, new_typeinfo).
 
     ``mode='proto'`` decodes decoderbufs RowMessage wire bytes (payload is
-    BINARY; see sources/proto.py for the mapping and the honest perf note)."""
+    BINARY; see sources/proto.py for the mapping and the honest perf note).
+
+    ``mode='sidecar'`` consumes a capture that ALREADY carries the decoded
+    event as columns (txid/seq/op/table + new_tuple/old_tuple maps — the
+    shape an archiver that fully decodes messages writes; our generator's
+    ``tuple_sidecar=True``): a pure JVM-side projection, no payload decode,
+    no Python workers anywhere in the replay."""
+    if mode == "sidecar":
+        return raw.select(
+            "lsn",
+            F.col("txid").cast("long").alias("txid"),
+            F.col("seq").cast("int").alias("seq"),
+            F.col("commit_time_us").cast("long").alias("commit_time_us"),
+            "op",
+            "table",
+            "new_tuple",
+            "old_tuple",
+            # R events are planned from their (retained) wire payloads, so
+            # the data path carries a NULL schema_change like every other
+            # mode does for non-R rows
+            F.lit(None).cast(SCHEMA_CHANGE_TYPE).alias("schema_change"),
+            F.lit(None).cast(TYPEINFO_SPARK_TYPE).alias("new_typeinfo"),
+        )
     if mode == "arrow":
         return raw.select("lsn", "payload").mapInArrow(
             _parse_batches, schema=_OUT_SPARK_SCHEMA
@@ -594,5 +649,6 @@ def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
             F.col("j.new").alias("new_tuple"),
             F.col("j.old").alias("old_tuple"),
             F.col("j.change").alias("schema_change"),
+            F.lit(None).cast(TYPEINFO_SPARK_TYPE).alias("new_typeinfo"),
         )
     raise ValueError(f"unknown parse mode {mode!r}")

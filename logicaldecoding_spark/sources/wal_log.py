@@ -52,14 +52,17 @@ def read_wal_log(
     log_path: str,
     lsn_from: int | None = None,
     lsn_to: int | None = None,
+    columns: tuple[str, ...] = ("lsn", "payload"),
 ) -> DataFrame:
-    """Scan the captured log; pruned to (lsn, payload), lsn-range filtered.
+    """Scan the captured log; pruned to ``columns``, lsn-range filtered.
 
     ``lsn_from`` is exclusive (resume semantics: everything AFTER the
     checkpointed offset, like restarting a slot at its confirmed LSN,
-    reference src/replication.rs:59-75); ``lsn_to`` is inclusive.
+    reference src/replication.rs:59-75); ``lsn_to`` is inclusive.  The
+    default projection is the wire shape (lsn, payload); a tuple-sidecar
+    capture is read with its decoded columns instead (replay picks them).
     """
-    df = spark.read.parquet(log_path).select("lsn", "payload")
+    df = spark.read.parquet(log_path).select(*columns)
     if lsn_from is not None:
         df = df.filter(F.col("lsn") > F.lit(lsn_from))
     if lsn_to is not None:

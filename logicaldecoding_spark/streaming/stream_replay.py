@@ -58,13 +58,23 @@ from ..schema import OP_COMMIT, REPOS_PK, TableSchema
 from ..table.fileio import LocalFileIO
 
 # minimal on-disk schema the streaming source needs (lsn + payload; other
-# captured-log columns are ignored by the engine)
-LOG_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("lsn", T.LongType(), False),
-        T.StructField("payload", T.StringType(), False),
-    ]
-)
+# captured-log columns are ignored by the engine).  The payload column is
+# string on the JSON wire, binary RowMessage bytes on the decoderbufs
+# protobuf wire (parse_mode='proto').
+def log_file_schema(wire: str = "json") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField(
+                "payload",
+                T.BinaryType() if wire == "proto" else T.StringType(),
+                False,
+            ),
+        ]
+    )
+
+
+LOG_FILE_SCHEMA = log_file_schema("json")  # JSON-wire default (back-compat)
 
 
 class LateFileError(RuntimeError):
@@ -74,15 +84,16 @@ class LateFileError(RuntimeError):
     assumed)."""
 
 
-def _classify_txns(combined: DataFrame) -> DataFrame:
+def _classify_txns(combined: DataFrame, wire: str = "json") -> DataFrame:
     """Tag each event's txid as committed / open (pending) / aborted.
 
     Returns a (txid, status) frame, status in {'committed','open','aborted'}.
-    Minimal (lsn, txid, op) parse only — no tuple work at all.
+    Minimal (lsn, txid, op) parse only — no tuple work at all (the proto
+    wire uses the header-only decode: datum bodies are length-skipped).
     """
     from ..sources.parse import parse_markers
 
-    p = parse_markers(combined)
+    p = parse_markers(combined, mode="proto" if wire == "proto" else "json")
     per_txn = p.groupBy("txid").agg(
         F.max(F.col("op") == OP_COMMIT).alias("has_commit"),
         F.max("lsn").alias("max_lsn"),
@@ -129,6 +140,8 @@ def stream_replay(
     ship_package(spark)  # executor workers import this package inside UDFs
     ensure_table(table_path, initial_schema, pk, n_buckets)
     io = LocalFileIO()
+    wire = "proto" if parse_mode == "proto" else "json"
+    file_schema = log_file_schema(wire)
     pending_root = os.path.join(checkpoint_dir, "pending")
     aborted_root = os.path.join(checkpoint_dir, "aborted")
 
@@ -165,18 +178,28 @@ def stream_replay(
         combined = df.select("lsn", "payload")
         if prev is not None:
             combined = (
-                spark.read.schema(LOG_FILE_SCHEMA).parquet(prev)
+                spark.read.schema(file_schema).parquet(prev)
                 .unionByName(combined)
             )
         combined = combined.persist()
         try:
-            status = _classify_txns(combined).persist()
+            status = _classify_txns(combined, wire=wire).persist()
             open_txids = status.filter(F.col("status") == "open").select("txid")
-            # tag each raw row with its txid via a single JVM-side JSON field
-            # extraction (no full parse, no join)
-            tagged = combined.withColumn(
-                "txid", F.get_json_object("payload", "$.txid").cast("long")
-            )
+            # tag each raw row with its txid: a single JVM-side JSON field
+            # extraction on the JSON wire (no full parse, no join); a
+            # header-only Arrow-batch decode on the protobuf wire (datum
+            # bodies length-skipped, payload passed through)
+            if wire == "proto":
+                from ..sources.proto import proto_tagged_batches
+
+                tagged = combined.mapInArrow(
+                    proto_tagged_batches,
+                    "lsn long, payload binary, txid long",
+                )
+            else:
+                tagged = combined.withColumn(
+                    "txid", F.get_json_object("payload", "$.txid").cast("long")
+                )
 
             # aborted-revival guard: a txid classified aborted in an earlier
             # epoch can never legally produce more events (WAL emits each txn
@@ -221,7 +244,10 @@ def stream_replay(
             )
 
             batch = applyable.select("lsn", "payload")
-            plans = plan_batches(batch, target_data_batches=1, parse_mode="native")
+            plans = plan_batches(
+                batch, target_data_batches=1,
+                parse_mode="proto" if wire == "proto" else "native",
+            )
             tbl = ensure_table(table_path, initial_schema, pk, n_buckets)
             if plans:
                 hi = max(p.lsn_to for p in plans)
@@ -254,6 +280,7 @@ def stream_replay(
                         (batch.lsn > (lo or 0)) & (batch.lsn <= hi)
                     ),
                     parse_mode=parse_mode,
+                    slim_mode="proto" if wire == "proto" else "duckdb",
                     salt_buckets=salt_buckets,
                     batch_id_offset=epoch * 1000,
                     merge_mode=merge_mode,
@@ -271,7 +298,7 @@ def stream_replay(
             combined.unpersist()
 
     reader = (
-        spark.readStream.schema(LOG_FILE_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("latestFirst", "false")
         .option("maxFilesPerTrigger", str(max_files_per_trigger or 16))
     )

@@ -197,3 +197,26 @@ def test_fat_r_txn_and_rolled_back_r_converge(spark, tmp_path, eager):
     got = {r["path"]: r.asDict() for r in t.read(spark).collect()}
     assert got["c"]["size"] == 123 and got["a"]["size"] == 7
     assert got["b"]["size"] is None
+
+
+def test_plan_many_r_groupby_path_matches_fused(spark, evo_log, monkeypatch):
+    """Past _MAX_FUSED_R_TXIDS the planner switches from per-txid
+    conditional aggregates (2 columns per R txid — Catalyst degrades far
+    below the 100k candidate cap, ADVICE r3) to a shape-stable
+    groupBy("txid") over marker rows.  Both shapes must plan identically,
+    on the payload-only path and the columnar-sidecar path."""
+    from logicaldecoding_spark.plans import batches as B
+
+    path, _ = evo_log
+    payload_only = spark.read.parquet(path).select("lsn", "payload")
+    sidecar = spark.read.parquet(path).drop("committed")
+
+    expect_payload = B.plan_batches(payload_only, target_data_batches=2,
+                                    eager_evolution=False)
+    expect_sidecar = B.plan_batches(sidecar, target_data_batches=2,
+                                    eager_evolution=False)
+    monkeypatch.setattr(B, "_MAX_FUSED_R_TXIDS", 0)
+    assert B.plan_batches(payload_only, target_data_batches=2,
+                          eager_evolution=False) == expect_payload
+    assert B.plan_batches(sidecar, target_data_batches=2,
+                          eager_evolution=False) == expect_sidecar

@@ -194,6 +194,16 @@ def main() -> None:
         q[name](spark, sf_dir).collect()
         query_secs[name] = round(time.time() - t0, 3)
 
+    # steady-state latency for the plan-heavy LSH operators: the first
+    # execution of these shapes in a fresh JVM pays one-time plan/codegen/
+    # broadcast costs that a long-lived session does not; both numbers are
+    # reported (cold above is the primary, comparable metric)
+    query_warm_secs: dict[str, float] = {}
+    for name in ("dedup_minhash", "knn_lsh"):
+        t0 = time.time()
+        q[name](spark, sf_dir).collect()
+        query_warm_secs[name] = round(time.time() - t0, 3)
+
     out = {
         "metric": "cdc_replay_wall",
         "value": round(run["wall_secs"], 3),
@@ -206,6 +216,7 @@ def main() -> None:
         "parse_mode": parse_mode,
         "cpus": cpus,
         "queries": query_secs,
+        "queries_warm": query_warm_secs,
         "sf": sf,
     }
     prev = _prev_round_bench()

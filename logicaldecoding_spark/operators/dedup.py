@@ -219,6 +219,7 @@ def minhash_signatures(
     seed: int = 42,
     shingles: DataFrame | None = None,
     with_size: bool = False,
+    as_array: bool = False,
 ) -> DataFrame:
     """K-permutation MinHash signatures over character-shingle sets.
 
@@ -257,6 +258,12 @@ def minhash_signatures(
     sigs = shingles.select(F.col(id_col), *extra, xs.alias("_xs")).select(
         id_col, *extra, sig_udf(F.col("_xs")).alias("_sig")
     )
+    if as_array:
+        # one array<long> column: downstream banding hashes slices of it.
+        # K separate mhN columns make the analyzer/codegen chew on a K-wide
+        # projection per consumer — measured ~1s of driver plan time per
+        # fresh pipeline at K=64
+        return sigs
     return sigs.select(
         id_col, *extra,
         *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)],
@@ -305,10 +312,23 @@ def lsh_candidate_pairs(
     distinct/verify stages.  With permissive coverage-guaranteeing bands
     (e.g. 32x2) this is the difference between verifying ~half of all pairs
     and verifying only plausibly-similar ones."""
-    sig_cols = [c for c in signatures.columns if c not in (id_col, "_sz")]
-    assert len(sig_cols) >= bands * rows, "need k >= bands*rows minhashes"
     use_sz = size_ratio_threshold is not None and "_sz" in signatures.columns
     extra = ["_sz"] if use_sz else []
+    if "_sig" in signatures.columns:
+        # array signature: band bi = xxhash64 of its slice (equal slices
+        # hash equal, so the collision structure matches the per-column
+        # form; bucket ids are internal)
+        def bucket(bi):
+            return F.xxhash64(F.slice("_sig", bi * rows + 1, rows))
+    else:
+        sig_cols = [c for c in signatures.columns
+                    if c not in (id_col, "_sz")]
+        assert len(sig_cols) >= bands * rows, "need k >= bands*rows minhashes"
+
+        def bucket(bi):
+            return F.xxhash64(
+                *[F.col(sig_cols[bi * rows + r]) for r in range(rows)]
+            )
     banded = signatures.select(
         id_col,
         *extra,
@@ -317,8 +337,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col(sig_cols[bi * rows + r]) for r in range(rows)])
-                        .alias("bucket"),
+                        bucket(bi).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
@@ -379,7 +398,7 @@ def minhash_dedup_pairs(
     )
     try:
         sigs = minhash_signatures(docs, text_col, id_col, k, shingle_k, seed,
-                                  shingles=sh, with_size=True)
+                                  shingles=sh, with_size=True, as_array=True)
         cands = lsh_candidate_pairs(sigs, id_col, bands, rows, max_bucket_size,
                                     size_ratio_threshold=threshold)
         out = ngram_jaccard_verify(docs, cands, text_col, id_col, threshold,

@@ -464,42 +464,87 @@ class LakeTable:
         applied_upto_lsn: int,
         batch_id: int,
         metrics: dict | None = None,
+        retries: int = 3,
     ) -> None:
         """Copy-on-write snapshot: replace all files of ``replaced_buckets``
         with ``new_files`` (each: {path, bucket, spec_id, schema_id, rows,
         max_lsn}).  ``replaced_buckets`` entries are (spec_id, bucket)
-        pairs; bare ints mean the CURRENT spec (legacy callers)."""
-        meta = self.metadata()
-        cur_sid = meta["partition_spec"].get("spec_id", 0)
+        pairs; bare ints mean the CURRENT spec (legacy callers).
+
+        Optimistic-retry semantics (the Iceberg commit model): losing the
+        CAS race does NOT abort the commit when the concurrent snapshot is
+        DISJOINT from this one — i.e. no file in this commit's replaced
+        slots was added/removed/rewritten since this commit's base was read.
+        Then the commit simply rebases onto the new current snapshot (merge
+        manifests, per-bucket offset max, monotone watermark max) and
+        retries the CAS.  This is what lets a merge-on-read ingest (replaces
+        nothing — pure append) run concurrently with periodic compaction.
+        A TRUE conflict — the concurrent snapshot touched this commit's
+        replaced slots, e.g. an ingest appended a delta into a bucket this
+        compaction is folding (rebasing would silently drop that delta) —
+        still raises CommitConflictError after exhausting nothing: it is
+        detected before any retry write."""
+        from .fileio import CommitConflictError
+
+        base = self.metadata()
+        cur_sid = base["partition_spec"].get("spec_id", 0)
         replaced = {
             e if isinstance(e, tuple) else (cur_sid, int(e))
             for e in replaced_buckets
         }
-        keep = [
-            m for m in meta["snapshot"]["manifest"]
-            if (m.get("spec_id", 0), m["bucket"]) not in replaced
-        ]
-        manifest = keep + new_files
-        offsets = dict(meta["snapshot"].get("offsets", {}))
-        for nf in new_files:
-            if nf.get("max_lsn") is not None:
-                offsets[str(nf["bucket"])] = max(
-                    int(offsets.get(str(nf["bucket"]), 0)), int(nf["max_lsn"])
-                )
-        new_meta = dict(meta)
-        new_meta["version"] = meta["version"] + 1
-        snap = {
-            "snapshot_id": new_meta["version"],
-            "parent_id": meta["snapshot"]["snapshot_id"],
-            "applied_upto_lsn": applied_upto_lsn,
-            "batch_id": batch_id,
-            "manifest": manifest,
-            "offsets": offsets,
-            "metrics": metrics or {},
-            "timestamp_ms": int(time.time() * 1000),
-        }
-        new_meta["snapshot"] = snap
-        self._write_meta(new_meta)
+
+        def slot_files(meta: dict) -> set[str]:
+            return {
+                m["path"] for m in meta["snapshot"]["manifest"]
+                if (m.get("spec_id", 0), m["bucket"]) in replaced
+            }
+
+        base_slot_files = slot_files(base)
+        meta = base
+        for attempt in range(retries + 1):
+            if attempt > 0:
+                meta = self.metadata()
+                if slot_files(meta) != base_slot_files:
+                    raise CommitConflictError(
+                        "concurrent snapshot modified this commit's replaced "
+                        f"slots {sorted(replaced)}: true conflict, aborting "
+                        "(a rebase would drop the other writer's files)"
+                    )
+            keep = [
+                m for m in meta["snapshot"]["manifest"]
+                if (m.get("spec_id", 0), m["bucket"]) not in replaced
+            ]
+            manifest = keep + new_files
+            offsets = dict(meta["snapshot"].get("offsets", {}))
+            for nf in new_files:
+                if nf.get("max_lsn") is not None:
+                    offsets[str(nf["bucket"])] = max(
+                        int(offsets.get(str(nf["bucket"]), 0)), int(nf["max_lsn"])
+                    )
+            new_meta = dict(meta)
+            new_meta["version"] = meta["version"] + 1
+            snap = {
+                "snapshot_id": new_meta["version"],
+                "parent_id": meta["snapshot"]["snapshot_id"],
+                # monotone: a rebase must never regress a concurrent
+                # writer's watermark (resume correctness)
+                "applied_upto_lsn": max(
+                    int(applied_upto_lsn),
+                    int(meta["snapshot"]["applied_upto_lsn"]),
+                ),
+                "batch_id": batch_id,
+                "manifest": manifest,
+                "offsets": offsets,
+                "metrics": metrics or {},
+                "timestamp_ms": int(time.time() * 1000),
+            }
+            new_meta["snapshot"] = snap
+            try:
+                self._write_meta(new_meta)
+                return
+            except CommitConflictError:
+                if attempt >= retries:
+                    raise
 
     def write_data_files(
         self, result: DataFrame, spark: SparkSession, content: str = "base"

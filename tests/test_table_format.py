@@ -306,3 +306,98 @@ def test_lookup_typed_nonstring_pk(spark, tmp_path):
     # and the lookup still prunes: fewer files scanned than a full read
     assert len(t.lookup(spark, [(7,)]).inputFiles()) < \
         len(t.read(spark).inputFiles())
+
+
+class _RaceFileIO:
+    """FileIO that runs a hook right before the first exclusive metadata
+    create — a deterministic commit race (the hook commits from another
+    handle, so the hooked committer loses the CAS and must rebase)."""
+
+    def __init__(self, hook):
+        from logicaldecoding_spark.table.fileio import LocalFileIO
+
+        self._inner = LocalFileIO()
+        self._hook = hook
+        self._fired = False
+
+    def write_text_exclusive(self, path, text):
+        if not self._fired and path.endswith(".metadata.json"):
+            self._fired = True
+            self._hook()
+        return self._inner.write_text_exclusive(path, text)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_commit_rebase_on_disjoint_concurrent_snapshot(spark, tmp_path):
+    """Iceberg-style optimistic retry: losing the CAS to a DISJOINT
+    concurrent snapshot (a MoR append into an untouched bucket) rebases and
+    commits instead of aborting — the concurrency a live-tail ingest plus
+    periodic maintenance needs.  Both writers' effects survive."""
+    path = str(tmp_path / "t")
+    t0 = LakeTable.create(path, REPOS_INITIAL_SCHEMA, n_buckets=4)
+    rows = [(f"r{i}", f"p{i}", "c1", "py", f"x{i}", "I", i + 1, 0, 1)
+            for i in range(30)]
+    merge_into(spark, t0, _compacted(spark, rows), applied_upto_lsn=30,
+               batch_id=0)
+
+    from logicaldecoding_spark.table.format import bucket_expr
+    bmap = {r["repo"]: r["_b"] for r in _compacted(spark, rows).select(
+        "repo", bucket_expr(4).alias("_b")).collect()}
+    buckets = sorted(set(bmap.values()))
+    cow_bucket, mor_bucket = buckets[0], buckets[1]
+    cow_key = next(k for k, b in bmap.items() if b == cow_bucket)
+    mor_key = next(k for k, b in bmap.items() if b == mor_bucket)
+
+    def concurrent_mor_append():
+        b = LakeTable.load(path)
+        merge_into(spark, b, _compacted(
+            spark, [(mor_key, f"p{mor_key[1:]}", "c2", "py", "mor", "U",
+                     100, 0, 2)]), applied_upto_lsn=100, batch_id=1,
+            mode="mor")
+
+    a = LakeTable(path, io=_RaceFileIO(concurrent_mor_append))
+    a.metadata()
+    merge_into(spark, a, _compacted(
+        spark, [(cow_key, f"p{cow_key[1:]}", "c3", "py", "cow", "U",
+                 200, 0, 3)]), applied_upto_lsn=200, batch_id=2)
+
+    t = LakeTable.load(path)
+    got = {r["repo"]: r["content"] for r in t.read(spark).collect()}
+    assert got[cow_key] == "cow" and got[mor_key] == "mor"
+    assert t.applied_upto_lsn == 200
+    assert t.version == 3  # v0 create, v1 base, v2 mor, v3 rebased cow
+
+
+def test_commit_true_conflict_still_raises(spark, tmp_path):
+    """A concurrent snapshot that touches the commit's replaced slots (a
+    delta appended into a bucket a compaction is folding) must still abort:
+    rebasing would silently drop the other writer's file."""
+    from logicaldecoding_spark.table.fileio import CommitConflictError
+
+    path = str(tmp_path / "t")
+    t0 = LakeTable.create(path, REPOS_INITIAL_SCHEMA, n_buckets=4)
+    rows = [(f"r{i}", f"p{i}", "c1", "py", f"x{i}", "I", i + 1, 0, 1)
+            for i in range(30)]
+    merge_into(spark, t0, _compacted(spark, rows), applied_upto_lsn=30,
+               batch_id=0)
+    # MoR delta exists; a compaction folding ALL buckets starts
+    merge_into(spark, t0, _compacted(
+        spark, [("r0", "p0", "c2", "py", "y0", "U", 50, 0, 2)]),
+        applied_upto_lsn=50, batch_id=1, mode="mor")
+
+    def concurrent_mor_append():
+        b = LakeTable.load(path)
+        merge_into(spark, b, _compacted(
+            spark, [("r1", "p1", "c3", "py", "y1", "U", 60, 0, 3)]),
+            applied_upto_lsn=60, batch_id=2, mode="mor")
+
+    a = LakeTable(path, io=_RaceFileIO(concurrent_mor_append))
+    a.metadata()
+    with pytest.raises(CommitConflictError):
+        a.compact(spark)
+    # the loser's abort left the winner's state fully intact
+    t = LakeTable.load(path)
+    got = {r["repo"]: r["content"] for r in t.read(spark).collect()}
+    assert got["r0"] == "y0" and got["r1"] == "y1"

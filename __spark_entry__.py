@@ -307,6 +307,24 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_all_pairs(docs, threshold=0.55, shingle_k=3)
 
 
+def _q_dedup_prefix_join(spark, sf):
+    """EXACT sub-quadratic set-similarity join (PPJoin-style prefix +
+    length + positional filters, all exact necessary conditions): unlike
+    the LSH paths this reproduces the all-pairs answer BY CONSTRUCTION on
+    any corpus, no per-corpus tuning.  Driver config runs the high-threshold
+    regime (t=0.8, the realistic near-dup bar) on a 250-doc slice; the
+    oracle is the quadratic all-pairs SQL at the same params.  Note the
+    honest scale boundary (operators/dedup.py docstring): on corpora whose
+    random pairs sit just under the threshold (heavy shared boilerplate at
+    mid thresholds), ANY exact method degenerates toward all-pairs because
+    the near-threshold pairs genuinely exist — LSH+cap remains the scale
+    path when approximate recall is acceptable."""
+    from logicaldecoding_spark.operators.dedup import jaccard_prefix_join_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 250)
+    return jaccard_prefix_join_pairs(docs, threshold=0.8, shingle_k=5)
+
+
 def _q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup pipeline, oracled against the exact all-pairs
     n-gram-Jaccard SQL: with bands=32/rows=2 a true pair at jaccard >= 0.6
@@ -451,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_full_scan": _q_s7_full_scan,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_prefix_join": _q_dedup_prefix_join,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -727,6 +746,16 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _KNN_EXACT,
         "knn_lsh": _KNN_EXACT,
         "knn_ivf": _KNN_EXACT,
+        "dedup_prefix_join": f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES5} AS s
+                        FROM documents WHERE doc_id < 250)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0
+                         / len(list_distinct(a.s || b.s)), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0
+                  / len(list_distinct(a.s || b.s)) >= 0.8
+        """,
         "dedup_minhash": f"""
             WITH sh AS (SELECT doc_id, {_SHINGLES5} AS s
                         FROM documents WHERE doc_id < 200)

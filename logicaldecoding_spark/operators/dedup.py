@@ -637,3 +637,92 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def jaccard_prefix_join_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_k: int = 5,
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT sub-quadratic set-similarity join via prefix filtering (the
+    PPJoin-family technique from the set-similarity-join literature).
+
+    Unlike MinHash-LSH this is exact BY CONSTRUCTION on any corpus, not
+    probabilistically or per-corpus-tuned: order every document's shingle
+    set by one global total order (ascending corpus frequency, ties by
+    token), keep only each document's PREFIX of length
+    ``|x| - ceil(t*|x|) + 1``, and join on shared prefix tokens.  The
+    standard prefix-filter lemma guarantees any pair with Jaccard >= t
+    shares at least one prefix token, so candidates -> exact-Jaccard verify
+    reproduces the all-pairs answer while comparing only documents that
+    share a RARE token.
+
+    Scale shape: one explode + frequency aggregation (map-side combined),
+    one per-document ranking window, a token-bucketed self-join (rare-first
+    ordering keeps buckets small by construction — the hottest tokens are
+    exactly the ones prefixes exclude), the usual exact verify on
+    candidates.  The length filter (J <= min/max sizes) prunes inside the
+    join.  ``max_token_bucket`` caps pathological token buckets like the
+    LSH cap — but unlike there, a cap here SACRIFICES exactness, so it is
+    off by default and loud in the docstring."""
+    from pyspark.sql import Window
+
+    sh = shingle_docs(docs, text_col, id_col, shingle_k)
+    sh = sh.withColumn("_sz", F.size("sh"))
+    ex = sh.select(id_col, "_sz", F.explode("sh").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    ranked = ex.join(freq, "tok").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_tf", "tok")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+    ).select(id_col, "tok", "_sz", "_rn")
+    if max_token_bucket is not None:
+        prefix = drop_oversized_buckets(
+            prefix, ("tok",), max_token_bucket, "jaccard_prefix_join_pairs"
+        )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            # exact length filter: J(A,B) <= min/max sizes
+            & (
+                F.least(F.col("l._sz"), F.col("r._sz"))
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("l._sz"), F.col("r._sz"))
+            )
+            # exact POSITIONAL filter (PPJoin): J >= t needs overlap
+            # alpha = ceil(t/(1+t) * (|A|+|B|)); tokens before this shared
+            # one cannot contribute (same global order), so the remaining
+            # suffixes must still allow alpha
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("l._sz") - F.col("l._rn"),
+                    F.col("r._sz") - F.col("r._rn"),
+                )
+                >= F.ceil(
+                    F.lit(float(threshold) / (1.0 + float(threshold)))
+                    * (F.col("l._sz") + F.col("r._sz"))
+                )
+            ),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return ngram_jaccard_verify(
+        docs, cand, text_col, id_col, threshold, shingle_k,
+        shingles=sh.drop("_sz"),
+    )

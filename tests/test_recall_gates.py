@@ -245,3 +245,23 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     )
     top = exact_dedup(docs).agg(F.max("n_copies").alias("m")).collect()[0]
     assert top["m"] == 10_000
+
+
+def test_prefix_join_exact_by_construction(spark, docs):
+    """The PPJoin-style prefix join must equal the quadratic all-pairs
+    answer EXACTLY (prefix/length/positional filters are necessary
+    conditions — zero recall loss by the standard lemmas), at multiple
+    thresholds, with no per-corpus tuning."""
+    from logicaldecoding_spark.operators.dedup import (
+        jaccard_prefix_join_pairs,
+        ngram_jaccard_all_pairs,
+    )
+
+    for t in (0.5, 0.7, 0.9):
+        exact = {tuple(r) for r in
+                 ngram_jaccard_all_pairs(docs, threshold=t, shingle_k=5
+                                         ).collect()}
+        got = {tuple(r) for r in
+               jaccard_prefix_join_pairs(docs, threshold=t, shingle_k=5
+                                         ).collect()}
+        assert got == exact, f"t={t}: missed {len(exact-got)}, invented {len(got-exact)}"

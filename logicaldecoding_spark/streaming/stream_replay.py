@@ -92,6 +92,38 @@ def log_file_schema(wire: str = "json",
 LOG_FILE_SCHEMA = log_file_schema("json")  # JSON-wire default (back-compat)
 
 
+def _compact_hot_delta_slots(spark: SparkSession, table_path: str,
+                             max_deltas: int) -> None:
+    """Compact (only) the buckets whose manifest slots exceed
+    ``max_deltas`` delta files — the self-driving form of the maintenance
+    loop a MoR live tail needs: per-batch writes stay O(changed keys),
+    while read amplification per bucket stays bounded by ``max_deltas``.
+    Bucket-scoped: untouched buckets' files are not rewritten, and the
+    bucket-scoped read reconciliation means pure-base buckets never paid
+    for the deltas in the first place."""
+    from collections import Counter
+
+    from ..plans.replay import LakeTable
+
+    tbl = LakeTable.load(table_path)
+    counts: Counter = Counter()
+    for m in tbl.metadata(refresh=False)["snapshot"]["manifest"]:
+        if m.get("content", "base") == "delta":
+            counts[(m.get("spec_id", 0), m["bucket"])] += 1
+    if not counts or max(counts.values()) <= max_deltas:
+        return
+    spec_sizes = tbl.partition_specs()
+    n_cur = tbl.n_buckets
+    hot: set[int] = set()
+    for (sid, b), c in counts.items():
+        if c > max_deltas:
+            n_s = spec_sizes[sid]
+            # a delta slot under an older (smaller) spec spans the current
+            # buckets that fold onto it
+            hot.update(b2 for b2 in range(n_cur) if b2 % n_s == b % n_s)
+    tbl.compact(spark, buckets=sorted(hot))
+
+
 class LateFileError(RuntimeError):
     """A log file arrived whose LSNs are all below the table watermark —
     out-of-order file delivery would mean silent data loss, so fail loudly
@@ -146,6 +178,11 @@ def stream_replay(
     # O(changed keys) delta files instead of rewriting touched buckets;
     # run LakeTable.compact periodically (see operators/merge.py)
     merge_mode: str = "cow",
+    # bound MoR read amplification without an external scheduler: after a
+    # micro-batch, any manifest slot holding more than this many delta
+    # files is compacted (bucket-scoped — pure-base buckets untouched).
+    # None = never auto-compact (run LakeTable.compact yourself).
+    auto_compact_deltas: int | None = None,
 ):
     """Start the streaming replay; returns the StreamingQuery.
 
@@ -309,6 +346,9 @@ def stream_replay(
                     merge_mode=merge_mode,
                 )
             status.unpersist()
+            if auto_compact_deltas is not None:
+                _compact_hot_delta_slots(spark, table_path,
+                                         auto_compact_deltas)
             # prune sidecars older than the retention window
             for root in (pending_root, aborted_root):
                 if io.exists(root):

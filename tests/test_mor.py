@@ -280,3 +280,41 @@ def test_mor_with_partition_spec_evolution(spark, tmp_path):
     assert {m.get("spec_id", 0) for m in man} == {t2.spec_id}
     got = {r["repo"]: r["content"] for r in t2.read(spark).collect()}
     assert got == expected
+
+
+def test_streaming_mor_auto_compaction_bounds_deltas(
+    spark, small_log, small_oracle, tmp_path
+):
+    """The MoR live tail with auto_compact_deltas keeps every manifest
+    slot's delta-file count bounded across micro-batches (no external
+    maintenance scheduler), compacts ONLY hot buckets, and stays
+    convergent."""
+    from collections import Counter
+
+    from logicaldecoding_spark.generator import split_log_dir
+    from logicaldecoding_spark.streaming.stream_replay import stream_replay
+
+    path, _ = small_log
+    oracle_state, _ = small_oracle
+    log_dir = str(tmp_path / "log_dir")
+    split_log_dir(path, log_dir, n_files=8)
+    table_path = str(tmp_path / "t")
+    q = stream_replay(spark, log_dir, table_path, str(tmp_path / "ckpt"),
+                      n_buckets=8, parse_mode="native",
+                      max_files_per_trigger=1, merge_mode="mor",
+                      auto_compact_deltas=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = LakeTable.load(table_path)
+    counts = Counter(
+        (m.get("spec_id", 0), m["bucket"])
+        for m in t.metadata()["snapshot"]["manifest"]
+        if m.get("content", "base") == "delta"
+    )
+    assert all(c <= 2 for c in counts.values()), counts
+    # compaction actually fired at least once
+    kinds = [e["metrics"].get("kind") for e in t.history()]
+    assert "compaction" in kinds
+    assert_converged(spark, table_path, oracle_state)

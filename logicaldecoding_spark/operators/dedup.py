@@ -76,16 +76,28 @@ def flush_lsh_cap_stats() -> list[dict]:
     return out
 
 
-# banded frames persisted for self-join reuse; released generationally (the
-# next LSH operator call unpersists the previous call's caches — unpersist
-# is always safe: Spark recomputes if an old plan is re-executed)
+# banded frames persisted for self-join reuse; released GENERATIONALLY: the
+# next LSH operator call unpersists the previous call's caches.  Lifetime
+# contract (ADVICE r4): a frame RETURNED by an LSH operator stays cached
+# only until the next LSH operator call on the same driver — consume it (or
+# collect it to a local frame) before issuing another LSH call, or it will
+# transparently RECOMPUTE its whole pipeline on the next action (unpersist
+# is always correctness-safe; Spark recomputes from lineage).  The list is
+# lock-guarded so concurrent operator calls from multiple driver threads
+# can't corrupt it — though generational release itself is inherently
+# per-driver-global: concurrent callers should pin their own caches.
+import threading as _threading
+
 _LIVE_BAND_CACHES: list[DataFrame] = []
+_CACHE_LOCK = _threading.Lock()
 
 
 def release_band_caches() -> None:
-    while _LIVE_BAND_CACHES:
+    with _CACHE_LOCK:
+        doomed, _LIVE_BAND_CACHES[:] = _LIVE_BAND_CACHES[:], []
+    for df in doomed:
         try:
-            _LIVE_BAND_CACHES.pop().unpersist()
+            df.unpersist()
         except Exception:  # session already stopped: nothing to release
             pass
 
@@ -96,12 +108,14 @@ def _persist_for_self_join(banded: DataFrame) -> DataFrame:
     sides (measured: the signature UDF ran twice without this), and the
     banded frame is rows x bands of (id, band, bucket) — tiny relative to
     the corpus — so caching it is the cheap way to run the upstream once.
-    Lazy: the first downstream action materializes it; no driver job here."""
+    Lazy: the first downstream action materializes it; no driver job here.
+    Generational lifetime: see _LIVE_BAND_CACHES above."""
     from pyspark import StorageLevel
 
     release_band_caches()  # previous operator call's caches die here
     out = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_BAND_CACHES.append(out)
+    with _CACHE_LOCK:
+        _LIVE_BAND_CACHES.append(out)
     return out
 
 
@@ -140,7 +154,19 @@ def drop_oversized_buckets(
     so a clique of them is exactly the degenerate bucket this cap bounds."""
     if max_bucket_size is None:
         return banded
-    del _PENDING_CAP_STATS[:-63]  # bound unflushed plan references
+    if len(_PENDING_CAP_STATS) > 63:
+        # bound unflushed plan references — but never silently: dropping an
+        # unevaluated stats frame means that call's drop accounting is lost
+        # (ADVICE r4), so say so before truncating
+        import logging
+
+        logging.getLogger("logicaldecoding_spark.lsh").warning(
+            "discarding %d unflushed LSH cap-stat entries (only the most "
+            "recent 63 are retained); call flush_lsh_cap_stats() after "
+            "cap-using operators to evaluate drop accounting",
+            len(_PENDING_CAP_STATS) - 63,
+        )
+    del _PENDING_CAP_STATS[:-63]
     if shape == "antijoin":
         sizes = banded.groupBy(*[F.col(k) for k in keys]).agg(
             F.count(F.lit(1)).alias("_bn")
@@ -262,8 +288,13 @@ def minhash_signatures(
         # one array<long> column: downstream banding hashes slices of it.
         # K separate mhN columns make the analyzer/codegen chew on a K-wide
         # projection per consumer — measured ~1s of driver plan time per
-        # fresh pipeline at K=64
-        return sigs
+        # fresh pipeline at K=64.  k rides in the column metadata so
+        # lsh_candidate_pairs can fail fast on k < bands*rows (ADVICE r4:
+        # F.slice past the signature end silently yields short slices that
+        # hash every doc into one bucket).
+        return sigs.withColumn(
+            "_sig", F.col("_sig").alias("_sig", metadata={"minhash_k": k})
+        )
     return sigs.select(
         id_col, *extra,
         *[F.col("_sig")[i].alias(f"mh{i}") for i in range(k)],
@@ -317,9 +348,30 @@ def lsh_candidate_pairs(
     if "_sig" in signatures.columns:
         # array signature: band bi = xxhash64 of its slice (equal slices
         # hash equal, so the collision structure matches the per-column
-        # form; bucket ids are internal)
+        # form; bucket ids are internal).  Validate k >= bands*rows like the
+        # per-column branch does (ADVICE r4): plan-time via the minhash_k
+        # column metadata when present, else a runtime raise_error folded
+        # into the LAST band's bucket expression — F.slice past the
+        # signature end would otherwise silently yield short/empty slices
+        # that hash every doc into ONE degenerate bucket.
+        meta = signatures.schema["_sig"].metadata or {}
+        sig_k = meta.get("minhash_k")
+        if sig_k is not None:
+            assert int(sig_k) >= bands * rows, (
+                f"need k >= bands*rows minhashes (k={sig_k}, "
+                f"bands*rows={bands * rows})"
+            )
+
         def bucket(bi):
-            return F.xxhash64(F.slice("_sig", bi * rows + 1, rows))
+            sl = F.xxhash64(F.slice("_sig", bi * rows + 1, rows))
+            if sig_k is None and bi == bands - 1:
+                return F.when(
+                    F.size("_sig") >= F.lit(bands * rows), sl
+                ).otherwise(F.raise_error(F.lit(
+                    f"minhash signature shorter than bands*rows="
+                    f"{bands * rows}: misconfigured LSH banding"
+                )))
+            return sl
     else:
         sig_cols = [c for c in signatures.columns
                     if c not in (id_col, "_sz")]
@@ -407,8 +459,10 @@ def minhash_dedup_pairs(
         out.count()  # materialize while the shingle cache is alive
         # generational release: the next LSH operator call unpersists this
         # result cache (no app-lifetime leak; a held DataFrame simply
-        # recomputes if used after that)
-        _LIVE_BAND_CACHES.append(out)
+        # recomputes if used after that — see the lifetime contract at
+        # _LIVE_BAND_CACHES)
+        with _CACHE_LOCK:
+            _LIVE_BAND_CACHES.append(out)
         return out
     finally:
         sh.unpersist()

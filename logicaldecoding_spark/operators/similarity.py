@@ -199,6 +199,7 @@ def knn_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket_size: int | None = 5000,
+    max_broadcast_queries: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = same (table, bucket) in any table,
     exact cosine re-rank of candidates only.
@@ -209,16 +210,31 @@ def knn_lsh(
     broadcast the over-cap bucket list) so the corpus stream stays map-local
     end-to-end until the candidate distinct.  A hot bucket meeting Q queries
     costs Q * bucket candidates; ``max_bucket_size`` bounds it (see
-    operators.dedup.drop_oversized_buckets)."""
+    operators.dedup.drop_oversized_buckets).
+
+    ``max_broadcast_queries`` guards the query-side broadcast (ADVICE r4: an
+    unconditionally-broadcast large query frame risks executor OOM): when
+    set, a bounded count probes the query frame and a count above the bound
+    degrades to the shuffle join (both sides hash-partition on
+    (table, bucket) — correct, just no longer corpus-shuffle-free).  The
+    default ``None`` skips the probe job entirely — the caller asserts the
+    query set is broadcast-small, the usual kNN shape."""
     from .dedup import drop_oversized_buckets
 
+    big_queries = False
+    if max_broadcast_queries is not None:
+        n_q = (
+            queries.select(id_col).limit(max_broadcast_queries + 1).count()
+        )
+        big_queries = n_q > max_broadcast_queries
     cb = lsh_buckets(corpus, dim, n_planes, n_tables, seed, vec_col, id_col)
     cb = drop_oversized_buckets(
         cb, ("table", "bucket"), max_bucket_size, "knn_lsh", shape="antijoin"
     )
     qb = lsh_buckets(queries, dim, n_planes, n_tables, seed, vec_col, id_col)
+    qb_side = qb.alias("q") if big_queries else F.broadcast(qb.alias("q"))
     cand = (
-        F.broadcast(qb.alias("q"))
+        qb_side
         .join(
             cb.alias("c"),
             (F.col("q.table") == F.col("c.table"))
@@ -234,7 +250,7 @@ def knn_lsh(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        cand.join(q if big_queries else F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
         .select("query_id", "neighbor_id", "cos")

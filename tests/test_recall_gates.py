@@ -265,3 +265,52 @@ def test_prefix_join_exact_by_construction(spark, docs):
                jaccard_prefix_join_pairs(docs, threshold=t, shingle_k=5
                                          ).collect()}
         assert got == exact, f"t={t}: missed {len(exact-got)}, invented {len(got-exact)}"
+
+
+def test_array_sig_banding_validates_k(spark, docs):
+    """A banding config needing more minhashes than the signature carries
+    must FAIL FAST, not silently hash short slices into one degenerate
+    bucket (ADVICE r4): plan-time via the minhash_k column metadata, and at
+    runtime (raise_error) for externally-built signature frames that lack
+    the metadata."""
+    import pytest as _pytest
+
+    from logicaldecoding_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sl = docs.filter(F.col("doc_id") < 50)
+    sigs = minhash_signatures(sl, k=8, as_array=True)
+    # metadata path: caught before any job runs
+    with _pytest.raises(AssertionError, match="bands\\*rows"):
+        lsh_candidate_pairs(sigs, bands=16, rows=4)
+    # metadata-stripped (foreign) signature frame: the job itself raises
+    naked = sigs.select(
+        "doc_id", F.col("_sig").alias("_sig", metadata={})
+    )
+    with _pytest.raises(Exception, match="shorter than bands\\*rows"):
+        lsh_candidate_pairs(naked, bands=16, rows=4,
+                            max_bucket_size=None).count()
+    # valid config still works on both shapes
+    assert lsh_candidate_pairs(sigs, bands=4, rows=2).count() >= 0
+    assert lsh_candidate_pairs(naked, bands=4, rows=2).count() >= 0
+
+
+def test_knn_lsh_query_broadcast_guard(emb):
+    """max_broadcast_queries above the query count keeps the broadcast
+    shape; below it the join degrades to the shuffle shape — both must
+    return the identical result (ADVICE r4: the unconditional query-side
+    broadcast had no OOM guard)."""
+    from logicaldecoding_spark.operators.similarity import knn_lsh
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(dim=64, k=10, n_planes=4, n_tables=64)
+    base = {tuple(r) for r in knn_lsh(emb, queries, **kw).collect()}
+    shuffled = {tuple(r) for r in
+                knn_lsh(emb, queries, max_broadcast_queries=2, **kw
+                        ).collect()}
+    broadcast_ok = {tuple(r) for r in
+                    knn_lsh(emb, queries, max_broadcast_queries=1000, **kw
+                            ).collect()}
+    assert base and base == shuffled == broadcast_ok

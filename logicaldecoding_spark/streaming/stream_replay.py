@@ -254,10 +254,10 @@ def stream_replay(
             if wire == "sidecar":
                 tagged = combined  # txid is already a capture column
             elif wire == "proto":
-                from ..sources.proto import proto_tagged_batches
+                from ..sources.proto import make_proto_tagged_batches
 
                 tagged = combined.mapInArrow(
-                    proto_tagged_batches,
+                    make_proto_tagged_batches(),
                     "lsn long, payload binary, txid long",
                 )
             else:

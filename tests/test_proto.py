@@ -216,3 +216,81 @@ def test_new_typeinfo_surfaces_in_parse_events(spark):
     for mode in ("arrow", "duckdb", "native"):
         r = parse_events(jraw, mode=mode).collect()[0]
         assert "new_typeinfo" in r.asDict() and r["new_typeinfo"] is None, mode
+
+
+def test_fast_decoder_seam_injects_through_all_paths(spark, tmp_path):
+    """The documented swap point for a C-speed protobuf runtime must
+    actually work (r4 ask #6): decoders installed via set_fast_decoders are
+    resolved driver-side by the make_* factories and shipped to executors
+    inside the task closure, so a fake fast decoder must be observable
+    through the full-parse, marker/header, streaming-tagging, and planning
+    paths — making google.protobuf/upb adoption a config call, not surgery."""
+    from pyspark.sql import functions as F
+
+    from logicaldecoding_spark.generator import SchemaChangeSpec, generate_log
+    from logicaldecoding_spark.plans.batches import plan_batches
+    from logicaldecoding_spark.sources import proto as P
+    from logicaldecoding_spark.sources.parse import parse_events, parse_markers
+
+    log = str(tmp_path / "wal_proto.parquet")
+    generate_log(
+        log, n_txns=40, n_repos=5, paths_per_repo=4,
+        schema_changes=[SchemaChangeSpec(at_txn=20, kind="add_column",
+                                         column="size", type="int")],
+        payload_format="proto",
+    )
+    raw = spark.read.parquet(log).select("lsn", "payload")
+    real_full, real_hdr = P.decode_row_message, P.decode_row_header
+
+    def fake_full(b):
+        ev = real_full(b)
+        if ev["op"] in ("I", "U", "D") and ev["new"] is not None:
+            ev["new"] = {**ev["new"], "__via__": "fast"}
+        return ev
+
+    def fake_hdr(b):
+        txid, op = real_hdr(b)
+        return (None if txid is None else txid + 1_000_000), op
+
+    try:
+        # executor-side full decode: every data event carries the fake's mark
+        P.set_fast_decoders(full=fake_full, header=fake_hdr)
+        parsed = parse_events(raw, mode="proto")
+        # D events carry no new-image: the mark lands on every row that HAS one
+        n = parsed.filter(
+            F.col("op").isin("I", "U", "D") & F.col("new_tuple").isNotNull()
+        ).count()
+        via = parsed.filter(
+            F.try_element_at("new_tuple", F.lit("__via__")) == "fast"
+        ).count()
+        assert n > 0 and via == n
+
+        # executor-side header decode: marker txids show the fake's offset
+        mk = parse_markers(raw, mode="proto")
+        assert mk.agg(F.min("txid")).collect()[0][0] >= 1_000_000
+
+        # streaming txid tagging uses the same header seam
+        tagged = raw.mapInArrow(
+            P.make_proto_tagged_batches(), "lsn long, payload binary, txid long"
+        )
+        assert tagged.agg(F.min("txid")).collect()[0][0] >= 1_000_000
+
+        # planning: driver-side R-candidate decode goes through the seam too
+        calls = {"full": 0}
+
+        def counting_full(b):
+            calls["full"] += 1
+            return real_full(b)
+
+        P.set_fast_decoders(full=counting_full, header=real_hdr)
+        plans = plan_batches(raw, target_data_batches=2, parse_mode="proto")
+        assert [p for p in plans if p.kind == "schema"]
+        assert calls["full"] > 0
+    finally:
+        P.set_fast_decoders()  # restore the pure-Python codec
+
+    # seam closed: behavior identical to the built-in decoder again
+    clean = parse_events(raw, mode="proto")
+    assert clean.filter(
+        F.try_element_at("new_tuple", F.lit("__via__")).isNotNull()
+    ).count() == 0

@@ -183,6 +183,11 @@ def stream_replay(
     # files is compacted (bucket-scoped — pure-base buckets untouched).
     # None = never auto-compact (run LakeTable.compact yourself).
     auto_compact_deltas: int | None = None,
+    # 'warn' | 'strict' | 'evolve' | 'ignore': handling of tuple columns
+    # outside the table schema (see plans/replay.apply_plans) — a live tail
+    # against a source that adds columns without the engine's __schema__
+    # convention should pick 'evolve'
+    schema_drift: str = "warn",
     # write parallelism of the pending-events sidecar: hash-partitioned on
     # lsn (deterministic by content, so crash-redelivery still recomputes
     # identical state) — r4 verdict "What's wrong #3": coalesce(1) made one
@@ -356,6 +361,7 @@ def stream_replay(
                     salt_buckets=salt_buckets,
                     batch_id_offset=epoch * 1000,
                     merge_mode=merge_mode,
+                    schema_drift=schema_drift,
                 )
             status.unpersist()
             if auto_compact_deltas is not None:

@@ -173,3 +173,63 @@ def test_eager_vs_epoch_split_evolution_converge(spark, small_log, small_oracle,
     assert n_data(run_e) < n_data(run_s)
     assert_converged(spark, eager, oracle_state)
     assert_converged(spark, strict, oracle_state)
+
+
+def test_auto_salting_probe_and_plan(spark):
+    """SURVEY §4.3.1's automatic skew policy: the probe finds a dominating
+    key (and stays quiet on uniform data), and the salted reduce really is
+    a two-phase plan (groupBy(pk, salt) then groupBy(pk))."""
+    from pyspark.sql import functions as F
+
+    from logicaldecoding_spark.operators.compaction import last_writer_wins
+    from logicaldecoding_spark.plans.replay import _auto_salt_buckets
+
+    n = 10_000
+    hot = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("r"), F.col("id"))).alias("repo"),
+        F.lit("p").alias("path"),
+    )
+    assert _auto_salt_buckets(hot, ("repo", "path"), n, spark) is not None
+    uniform = spark.range(n).select(
+        F.concat(F.lit("r"), F.col("id") % 997).alias("repo"),
+        F.lit("p").alias("path"),
+    )
+    assert _auto_salt_buckets(uniform, ("repo", "path"), n, spark) is None
+
+    changes = spark.range(1000).select(
+        F.lit("hot").alias("repo"), F.lit("p").alias("path"),
+        F.col("id").alias("lsn"), F.lit(0).alias("seq"),
+        F.lit("I").alias("op"), F.lit(1).alias("txid"),
+    )
+    salted_plan = last_writer_wins(
+        changes, pk=("repo", "path"), salt_buckets=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in salted_plan, "two-phase reduce missing from the plan"
+    plain_plan = last_writer_wins(
+        changes, pk=("repo", "path")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in plain_plan
+
+
+def test_auto_salting_end_to_end_hot_key_log(spark, tmp_path):
+    """A ~90%-one-key log replayed with DEFAULTS (no salt knob) enables the
+    two-phase reduce automatically and still converges (r4 ask #3)."""
+    from logicaldecoding_spark.generator import generate_log
+    from logicaldecoding_spark.oracle import replay_oracle
+    from logicaldecoding_spark.plans.replay import replay
+
+    from .util import assert_converged
+
+    log = str(tmp_path / "hot.parquet")
+    generate_log(log, n_txns=400, n_repos=5, paths_per_repo=1, zipf_s=5.0)
+    table_path = str(tmp_path / "t_hot")
+    run = replay(spark, log, table_path, n_buckets=4,
+                 salt_auto_min_events=500)
+    data_batches = [b for b in run["batches"] if b["kind"] == "data"]
+    assert any(b.get("salt_auto") and (b.get("salt_buckets") or 0) > 1
+               for b in data_batches), (
+        f"auto-salting did not engage: {data_batches}"
+    )
+    state, _ = replay_oracle(log)
+    assert_converged(spark, table_path, state)

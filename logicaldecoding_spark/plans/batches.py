@@ -109,6 +109,51 @@ def plan_batches(
     tests and is deliberately NEVER read here — commit status always comes
     from the wire's own B/C markers.
     """
+    scan = _scan_log(raw, parse_mode, target_data_batches)
+    if scan is None:
+        return []
+    max_lsn, r_rows_all, tx_bounds, cuts = scan
+    r_rows = [
+        (lsn, txid, ch) for (lsn, txid, tbl, ch) in r_rows_all
+        if source_table is None or tbl in (None, source_table)
+    ]
+    return _assemble_plans(r_rows, tx_bounds, cuts, max_lsn, eager_evolution)
+
+
+def plan_batches_multi(
+    raw: DataFrame, tables: list[str], target_data_batches: int = 1,
+    parse_mode: str = "native", eager_evolution: bool = True,
+) -> dict[str, list[BatchPlan]]:
+    """Plan EVERY table of a multi-table log from ONE scan (r4 ask #4).
+
+    A real Debezium capture carries many tables; planning them with one
+    plan_batches call each costs k scans of the same log.  Here the scan
+    products (lsn bounds, R candidates, marker bounds, commit quantiles)
+    are computed once and each table's plans are assembled driver-side from
+    the shared products: R events naming the table (or naming none —
+    table-agnostic) become its schema batches; the data tiling (global
+    commit-LSN cuts) is identical across tables."""
+    scan = _scan_log(raw, parse_mode, target_data_batches)
+    if scan is None:
+        return {t: [] for t in tables}
+    max_lsn, r_rows_all, tx_bounds, cuts = scan
+    return {
+        t: _assemble_plans(
+            [(lsn, txid, ch) for (lsn, txid, tbl, ch) in r_rows_all
+             if tbl in (None, t)],
+            tx_bounds, cuts, max_lsn, eager_evolution,
+        )
+        for t in tables
+    }
+
+
+def _scan_log(raw: DataFrame, parse_mode: str, target_data_batches: int):
+    """The planning SCANS, shared by plan_batches / plan_batches_multi:
+    returns (max_lsn, r_rows, tx_bounds, cuts) where r_rows =
+    [(lsn, txid, table, change), ...] for every decoded R event (no table
+    filtering here — callers route), tx_bounds maps every R txid to its
+    (begin_lsn, commit_lsn) markers, and cuts are the global commit-LSN
+    quantiles (empty unless target_data_batches > 1).  None = empty log."""
     import json as _json
 
     is_proto = parse_mode == "proto"
@@ -135,7 +180,7 @@ def plan_batches(
         bounds = raw.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
                          ).collect()[0]
         if bounds["hi"] is None:
-            return []
+            return None
         max_lsn = int(bounds["hi"])
         r_cand = (
             raw.filter(F.col("op") == "R").select("lsn", "payload")
@@ -157,7 +202,7 @@ def plan_batches(
         bounds = raw.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
                          ).collect()[0]
         if bounds["hi"] is None:
-            return []
+            return None
         max_lsn = int(bounds["hi"])
         r_cand = (
             raw.filter(r_marker).select("lsn", "payload")
@@ -169,15 +214,15 @@ def plan_batches(
             "changes are expected to be rare; refusing to plan driver-side"
         )
 
-    r_rows: list[tuple[int, int, dict]] = []  # (lsn, txid, change)
+    r_rows: list[tuple[int, int, str | None, dict]] = []
     for c in r_cand:
         ev = _decode(c["payload"])
         if ev.get("op") != "R":
             continue  # substring false positive
-        if source_table is not None and ev.get("table") not in (None, source_table):
-            continue  # foreign table's schema change: ignore
-        r_rows.append((int(c["lsn"]), int(ev["txid"]), ev["change"]))
-    r_rows.sort()
+        r_rows.append(
+            (int(c["lsn"]), int(ev["txid"]), ev.get("table"), ev["change"])
+        )
+    r_rows.sort(key=lambda r: r[:2])
 
     # ---- commit quantiles + R-txn marker bounds ---------------------------
     # Each R's epoch boundary is its OWN transaction's BEGIN/COMMIT marker
@@ -186,7 +231,7 @@ def plan_batches(
     # the WAL, so (begin_lsn, commit_lsn] covers exactly the R txn).  An R
     # whose txn never committed is SKIPPED — rolled-back schema changes
     # must not apply (the sequential oracle's committed-only rule).
-    r_txids = sorted({t for _, t, _ in r_rows})
+    r_txids = sorted({t for _, t, _, _ in r_rows})
     if want_cuts or r_txids:
         if has_sidecar:
             base = raw.select("lsn", "txid", "op")
@@ -289,6 +334,18 @@ def plan_batches(
                     int(rr["c"]) if rr["c"] is not None else None,
                 )
 
+    return max_lsn, r_rows, tx_bounds, cuts
+
+
+def _assemble_plans(
+    r_rows: list[tuple[int, int, dict]],
+    tx_bounds: dict[int, tuple[int | None, int | None]],
+    cuts: list[int],
+    max_lsn: int,
+    eager_evolution: bool,
+) -> list[BatchPlan]:
+    """Driver-side plan assembly from _scan_log products (no further
+    scans); r_rows here are already routed to one table's perspective."""
     def _r_span(lsn: int, txid: int) -> tuple[int, int] | None:
         """(begin_lsn-1 exclusive, commit_lsn inclusive] of the R's txn, or
         None if the txn began but never committed (skip the change).

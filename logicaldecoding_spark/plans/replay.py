@@ -220,6 +220,12 @@ def apply_plans(
     # batches below this event count never probe for hot-key salting (skew
     # cannot hurt a small reduce; keeps the probe off tiny micro-batches)
     salt_auto_min_events: int = 100_000,
+    # False when called from inside a streaming foreachBatch: Spark's
+    # Observation listener never fires for plans executed by the streaming
+    # engine (Observation.get blocks forever), so 'warn' falls back to the
+    # bounded pre-merge check there (micro-batches are small; the
+    # typeinfo-growth signal is skipped on that flavor)
+    drift_observation_ok: bool = True,
 ) -> list[dict]:
     """Apply planned batches in order; skip already-applied LSN ranges.
 
@@ -417,7 +423,8 @@ def apply_plans(
         drift_obs = None
         drift_info = None
         drift_cache = None
-        if schema_drift in ("strict", "evolve"):
+        warn_prepass = schema_drift == "warn" and not drift_observation_ok
+        if schema_drift in ("strict", "evolve") or warn_prepass:
             # bounded pre-merge check on the winner frame (persisted so the
             # winner parse is not recomputed by the merge)
             drift_cache = pre_typed.persist()
@@ -434,10 +441,22 @@ def apply_plans(
                         "silently drop their values; evolve the schema "
                         "(or rerun with schema_drift='evolve') and resume"
                     )
-                for c in unknown:
-                    table.evolve_schema("add_column", c, "string")
-                schema = table.schema
-                drift_info = {"evolved_columns": unknown}
+                if warn_prepass:
+                    import warnings
+
+                    warnings.warn(
+                        "schema drift detected: winner rows carry tuple "
+                        f"columns outside the table schema ({unknown}): "
+                        "their values are NOT applied — rerun with "
+                        "schema_drift='evolve' to capture them",
+                        stacklevel=2,
+                    )
+                    drift_info = {"example_cols": unknown}
+                else:
+                    for c in unknown:
+                        table.evolve_schema("add_column", c, "string")
+                    schema = table.schema
+                    drift_info = {"evolved_columns": unknown}
         elif schema_drift == "warn":
             from pyspark.sql import Observation
 
@@ -627,4 +646,314 @@ def replay(
     os.makedirs(mdir, exist_ok=True)
     with open(os.path.join(mdir, f"run-{int(time.time() * 1000)}.json"), "w") as f:
         json.dump(run, f, indent=1)
+    return run
+
+
+def apply_plans_multi(
+    spark: SparkSession,
+    sinks: dict[str, LakeTable],
+    plans_by_table: dict[str, list[BatchPlan]],
+    raw_provider: Callable[[int | None, int | None], DataFrame],
+    *,
+    parse_mode: str = "duckdb",
+    slim_mode: str = "duckdb",
+    salt_buckets: int | None = None,
+    compaction: str = "auto",
+    max_broadcast_keys: int = 20_000_000,
+    merge_mode: str = "cow",
+    schema_drift: str = "warn",
+    salt_auto_min_events: int = 100_000,
+    batch_id_offset: int = 0,
+) -> dict[str, list[dict]]:
+    """Apply one multi-table plan set with ONE slim scan per data batch.
+
+    The k-single-table formulation costs k full log scans because each
+    ``apply_plans`` call drops foreign events after its own parse (r4 ask
+    #4).  Here each data batch runs the narrow slim parse ONCE (table kept
+    as a column), shares the cached frame, the marker/abort classification
+    (transaction-level, table-agnostic) and the per-table event counts (one
+    grouped aggregate), then routes per-table winner selection + typed
+    projection + MERGE off that shared cache.  Winner payloads are still
+    the only fully-parsed rows — each table's winner-LSN broadcast
+    semi-join hits only its own rows (LSNs are unique per event).
+
+    Semantics per table match ``apply_plans`` (same compaction choice,
+    drift handling, auto-salting, idempotent watermark skip); parity is
+    pinned by tests.  Requires eager-evolution plans (identical data tiling
+    across tables — ``plan_batches_multi``'s default) and a shared pk
+    shape across sinks."""
+    from pyspark.sql import functions as F
+
+    from ..sources.parse import parse_slim
+    from ..table.format import bucket_expr
+
+    if schema_drift not in ("warn", "strict", "evolve", "ignore"):
+        raise ValueError(f"unknown schema_drift mode {schema_drift!r}")
+    pks = {t.pk for t in sinks.values()}
+    if len(pks) > 1:
+        raise ValueError(f"sinks must share one pk shape, got {pks}")
+    pk = next(iter(pks))
+    metrics: dict[str, list[dict]] = {n: [] for n in sinks}
+
+    # --- schema plans: metadata-only, per table ---------------------------
+    for name, tbl in sinks.items():
+        for i, b in enumerate(plans_by_table[name]):
+            if b.kind != "schema":
+                continue
+            kind, column, type_name = b.change
+            tbl.evolve_schema(
+                kind, column, type_name,
+                applied_upto_lsn=b.lsn_to if b.advance_watermark else None,
+            )
+            metrics[name].append(
+                {"batch": i, "kind": "schema", "change": list(b.change),
+                 "upto": b.lsn_to}
+            )
+
+    # --- data plans: identical tiling across tables (eager evolution) -----
+    tiles = None
+    for name, pl in plans_by_table.items():
+        d = [(b.lsn_from, b.lsn_to) for b in pl if b.kind == "data"]
+        if tiles is None:
+            tiles = d
+        elif d != tiles:
+            raise ValueError(
+                "data tiling differs across tables — plan with "
+                "plan_batches_multi (eager evolution)"
+            )
+    for i, (lsn_from, lsn_to) in enumerate(tiles or []):
+        actives = {
+            n: t for n, t in sinks.items() if lsn_to > t.applied_upto_lsn
+        }
+        if not actives:
+            continue
+        lo_eff = max(lsn_from, min(t.applied_upto_lsn
+                                   for t in actives.values()))
+        raw = raw_provider(lo_eff, lsn_to)
+        p = parse_slim(raw, pk, mode=slim_mode)
+        slim_all = p.select("lsn", "txid", "seq", "op", "table", *pk).persist()
+        aborted = (
+            slim_all.filter(F.col("op").isin("B", "C"))
+            .groupBy("txid")
+            .agg(F.max(F.col("op") == "C").alias("has_commit"))
+            .filter(~F.col("has_commit"))
+            .select("txid")
+            .persist()
+        )
+        is_data = F.col("op").isin("I", "U", "D")
+        # one grouped aggregate: per-table data-event counts + global B/C
+        st = slim_all.groupBy(
+            F.when(is_data, F.col("table")).alias("_t")
+        ).agg(
+            F.count(F.when(is_data, True)).alias("events"),
+            F.count(F.when(F.col("op") == "B", True)).alias("b"),
+            F.count(F.when(F.col("op") == "C", True)).alias("c"),
+        ).collect()
+        ev_by_table = {r["_t"]: int(r["events"]) for r in st if r["_t"]}
+        n_aborted = max(0, sum(int(r["b"]) for r in st)
+                        - sum(int(r["c"]) for r in st))
+        abort_join = F.broadcast(aborted) if n_aborted <= max_broadcast_keys \
+            else aborted
+
+        for name, tbl in actives.items():
+            tb0 = time.time()
+            schema = tbl.schema
+            slim_t = slim_all.filter(is_data & (F.col("table") == name))
+            n_events = ev_by_table.get(name, 0)
+            if n_events <= max_broadcast_keys:
+                est_keys = n_events
+            else:
+                est_keys = int(
+                    slim_t.agg(
+                        F.approx_count_distinct(F.struct(*pk)).alias("k")
+                    ).collect()[0]["k"]
+                )
+            batch_salt = salt_buckets
+            salt_auto = False
+            if batch_salt is None and n_events >= salt_auto_min_events:
+                batch_salt = _auto_salt_buckets(slim_t, pk, n_events, spark)
+                salt_auto = batch_salt is not None
+            slim_data = (
+                slim_t.join(abort_join, "txid", "left_anti")
+                .select(*pk, "lsn", "seq")
+            )
+            touched = None
+            if all(f.type == "string" for f in schema.fields
+                   if f.name in pk):
+                touched = [
+                    r["_b"] for r in slim_data.select(
+                        bucket_expr(tbl.n_buckets, pk).alias("_b")
+                    ).distinct().collect()
+                ]
+            use_slim = compaction == "slim" or (
+                compaction == "auto" and est_keys <= max_broadcast_keys
+            )
+            if use_slim:
+                pre_typed = last_writer_wins_slim(
+                    raw, slim_data, parse_mode=parse_mode, pk=pk,
+                    salt_buckets=batch_salt,
+                )
+            else:
+                parsed = parse_events(raw, mode=parse_mode)
+                data = parsed.filter(
+                    F.col("op").isin("I", "U", "D")
+                    & (F.col("table") == name)
+                )
+                pre_typed = data.join(abort_join, "txid", "left_anti")
+
+            drift_obs = None
+            drift_info = None
+            drift_cache = None
+            if schema_drift in ("strict", "evolve"):
+                drift_cache = pre_typed.persist()
+                pre_typed = drift_cache
+                unknown = _unknown_tuple_keys(pre_typed, schema)
+                if unknown:
+                    if schema_drift == "strict":
+                        drift_cache.unpersist()
+                        slim_all.unpersist()
+                        aborted.unpersist()
+                        raise SchemaDriftError(
+                            f"table {name!r} batch {i}: events carry tuple "
+                            f"columns outside the table schema: {unknown}"
+                        )
+                    for c in unknown:
+                        tbl.evolve_schema("add_column", c, "string")
+                    schema = tbl.schema
+                    drift_info = {"evolved_columns": unknown}
+            elif schema_drift == "warn":
+                from pyspark.sql import Observation
+
+                drift_obs = Observation(
+                    f"schema_drift_{name}_b{batch_id_offset + i}"
+                )
+                pre_typed = pre_typed.observe(
+                    drift_obs, *_drift_metric_exprs(schema, pre_typed.columns)
+                )
+
+            if use_slim:
+                compacted = typed_changes(pre_typed, schema, pk=pk)
+            else:
+                changes = typed_changes(pre_typed, schema, pk=pk)
+                compacted = last_writer_wins(changes, pk=pk,
+                                             salt_buckets=batch_salt)
+            m = merge_into(
+                spark, tbl, compacted,
+                applied_upto_lsn=lsn_to,
+                batch_id=batch_id_offset + i,
+                touched=touched,
+                mode=merge_mode,
+                extra_metrics={"lsn_from": lsn_from, "lsn_to": lsn_to,
+                               "source_table": name,
+                               "compaction_used":
+                                   "slim" if use_slim else "full",
+                               "est_keys": est_keys,
+                               "aborted_txids": n_aborted},
+            )
+            if drift_cache is not None:
+                drift_cache.unpersist()
+            if drift_obs is not None and (merge_mode == "mor"
+                                          or m["buckets"] > 0):
+                drift_info = _consume_drift_observation(drift_obs, schema)
+            metrics[name].append(
+                {
+                    "batch": i, "kind": "data",
+                    "lsn_range": [lsn_from, lsn_to],
+                    "rows_written": m["rows_written"],
+                    "buckets": m["buckets"],
+                    "compaction": "slim" if use_slim else "full",
+                    "est_keys": est_keys,
+                    "secs": round(time.time() - tb0, 3),
+                    "salt_buckets": batch_salt,
+                    "salt_auto": salt_auto,
+                    **({"schema_drift": drift_info} if drift_info else {}),
+                }
+            )
+        slim_all.unpersist()
+        aborted.unpersist()
+    return metrics
+
+
+def replay_multi(
+    spark: SparkSession,
+    log_path: str,
+    tables: dict[str, str],
+    *,
+    initial_schema: TableSchema | None = None,
+    pk: tuple[str, ...] = REPOS_PK,
+    n_buckets: int = 64,
+    parse_mode: str = "auto",
+    n_data_batches: int = 1,
+    salt_buckets: int | None = None,
+    compaction: str = "auto",
+    max_broadcast_keys: int = 20_000_000,
+    slim_mode: str = "auto",
+    merge_mode: str = "cow",
+    schema_drift: str = "warn",
+    salt_auto_min_events: int = 100_000,
+) -> dict:
+    """Replay a MULTI-TABLE captured log into k lake tables with ONE
+    planning pass and ONE slim scan per data batch (r4 ask #4).
+
+    ``tables`` maps source-table name -> lake table path.  Each table gets
+    its own snapshots/watermark (independent resume); schema-change events
+    route by their ``table`` field (an R with no table applies to every
+    table).  Wire/parse-mode resolution matches :func:`replay`."""
+    t0 = time.time()
+    from ..dist import ship_package
+
+    from .batches import plan_batches_multi
+
+    ship_package(spark)
+    cores = spark.sparkContext.defaultParallelism
+    plan_raw = spark.read.parquet(log_path).drop("committed")
+    sidecar_cols = ("lsn", "txid", "seq", "commit_time_us", "op", "table",
+                    *pk, "new_tuple", "old_tuple")
+    has_tuple_sidecar = set(sidecar_cols) <= set(plan_raw.columns)
+    if parse_mode == "auto":
+        parse_mode = (
+            "sidecar" if has_tuple_sidecar
+            else ("duckdb" if cores <= 16 else "arrow")
+        )
+    if slim_mode == "auto":
+        slim_mode = "sidecar" if parse_mode == "sidecar" else "duckdb"
+    if parse_mode == "proto":
+        slim_mode = "proto"
+
+    sinks = {
+        name: ensure_table(path, initial_schema, pk, n_buckets)
+        for name, path in tables.items()
+    }
+    plans_by_table = plan_batches_multi(
+        plan_raw, list(tables),
+        target_data_batches=n_data_batches,
+        parse_mode="proto" if parse_mode == "proto" else "native",
+    )
+    raw_columns = sidecar_cols if parse_mode == "sidecar" else ("lsn", "payload")
+    per_table = apply_plans_multi(
+        spark, sinks, plans_by_table,
+        lambda lo, hi: read_wal_log(spark, log_path, lsn_from=lo, lsn_to=hi,
+                                    columns=raw_columns),
+        parse_mode=parse_mode,
+        slim_mode=slim_mode,
+        salt_buckets=salt_buckets,
+        compaction=compaction,
+        max_broadcast_keys=max_broadcast_keys,
+        merge_mode=merge_mode,
+        schema_drift=schema_drift,
+        salt_auto_min_events=salt_auto_min_events,
+    )
+    run = {
+        "tables": {
+            name: {
+                "batches_planned": len(plans_by_table[name]),
+                "table_version": LakeTable.load(path).version,
+                "applied_upto_lsn": LakeTable.load(path).applied_upto_lsn,
+                "batches": per_table[name],
+            }
+            for name, path in tables.items()
+        },
+        "planning_scans": 1,
+        "wall_secs": round(time.time() - t0, 3),
+    }
     return run

@@ -362,6 +362,9 @@ def stream_replay(
                     batch_id_offset=epoch * 1000,
                     merge_mode=merge_mode,
                     schema_drift=schema_drift,
+                    # Observation.get never resolves under the streaming
+                    # engine; 'warn' uses the pre-merge check here
+                    drift_observation_ok=False,
                 )
             status.unpersist()
             if auto_compact_deltas is not None:

@@ -61,6 +61,10 @@ from ..schema import REPOS_PK, TableSchema
 from .fileio import FileIO, LocalFileIO
 
 FORMAT_VERSION = 1
+# manifest segment clustering: bucket % G picks a file's segment group (see
+# the "manifest segments" section in LakeTable) — a replaced bucket rewrites
+# ~1/G of the manifest instead of all of it
+_MANIFEST_GROUPS = 64
 LINEAGE_FIELDS = [
     T.StructField("_last_lsn", T.LongType(), True),
     T.StructField("_last_txid", T.LongType(), True),
@@ -139,6 +143,72 @@ class LakeTable:
     def _meta_path(self, version: int) -> str:
         return os.path.join(self._meta_dir, f"v{version}.metadata.json")
 
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self._meta_dir, "manifests")
+
+    # -------------------------------------------------- manifest segments
+    # The manifest is stored SEGMENTED (the Iceberg manifest-file /
+    # manifest-list split, r4 ask #5): each snapshot's metadata json holds
+    # only a ``manifest_list`` of segment references
+    # ({path, n_files, rows, slots}); the file entries live in immutable
+    # ``metadata/manifests/m-<uuid>.json`` segment files.  A commit writes
+    # ONE new segment (its new files + the filtered survivors of segments
+    # whose slots it replaced) and re-references untouched segments — the
+    # per-commit metadata write is O(touched slots), not O(total files),
+    # which is what survives 10^3-10^4 buckets x MoR deltas at 10^10
+    # events.  In MEMORY, ``metadata()`` materializes
+    # ``snapshot["manifest"]`` from the segments (memo-cached per segment:
+    # they are immutable) so every reader keeps its one-flat-list view.
+
+    def _load_segment(self, rel_path: str) -> list[dict]:
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = self._seg_cache = {}
+        if rel_path not in cache:
+            cache[rel_path] = json.loads(
+                self.io.read_text(os.path.join(self.path, rel_path))
+            )
+        return cache[rel_path]
+
+    def _write_segment(self, entries: list[dict]) -> dict:
+        if not self.io.exists(self._manifest_dir):
+            self.io.makedirs(self._manifest_dir)
+        rel = os.path.join(
+            "metadata", "manifests", f"m-{uuid.uuid4().hex[:12]}.json"
+        )
+        self.io.write_text_atomic(
+            os.path.join(self.path, rel), json.dumps(entries)
+        )
+        ref = {
+            "path": rel,
+            "n_files": len(entries),
+            "rows": sum(int(e.get("rows") or 0) for e in entries),
+            "slots": sorted({
+                (int(e.get("spec_id", 0)), int(e["bucket"])) for e in entries
+            }),
+        }
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = self._seg_cache = {}
+        cache[rel] = entries
+        return ref
+
+    def _materialize_manifest(self, snap: dict) -> list[dict]:
+        refs = snap.get("manifest_list")
+        if refs is None:
+            return snap.get("manifest", [])  # pre-segmentation metadata
+        out: list[dict] = []
+        for ref in refs:
+            out.extend(self._load_segment(ref["path"]))
+        return out
+
+    def _load_meta_version(self, version: int) -> dict:
+        """Read one version's metadata json and materialize its manifest."""
+        m = json.loads(self.io.read_text(self._meta_path(version)))
+        m["snapshot"]["manifest"] = self._materialize_manifest(m["snapshot"])
+        return m
+
     # ------------------------------------------------------------- lifecycle
     @staticmethod
     def create(
@@ -175,6 +245,7 @@ class LakeTable:
                 "applied_upto_lsn": 0,
                 "batch_id": -1,
                 "manifest": [],
+                "manifest_list": [],
                 "offsets": {},
                 "metrics": {},
                 "timestamp_ms": int(time.time() * 1000),
@@ -191,11 +262,26 @@ class LakeTable:
 
     def _write_meta(self, meta: dict) -> None:
         v = meta["version"]
+        # segmented manifests never hit the metadata json: strip the
+        # in-memory materialized list before serializing (the segment files
+        # were already written by commit_data / _write_segment)
+        to_disk = meta
+        snap = meta.get("snapshot", {})
+        if "manifest_list" in snap:
+            disk_snap = {k: val for k, val in snap.items() if k != "manifest"}
+            # JSON has no tuples: slots serialize as lists
+            disk_snap["manifest_list"] = [
+                {**r, "slots": [list(s) for s in r.get("slots", [])]}
+                for r in disk_snap["manifest_list"]
+            ]
+            to_disk = {**meta, "snapshot": disk_snap}
         # exclusive create = compare-and-swap on the version sequence: if a
         # concurrent committer already claimed v, this raises
         # CommitConflictError (the caller must refresh + retry or abort)
         # instead of both committers "succeeding" and one snapshot vanishing.
-        self.io.write_text_exclusive(self._meta_path(v), json.dumps(meta, indent=1))
+        self.io.write_text_exclusive(
+            self._meta_path(v), json.dumps(to_disk, indent=1)
+        )
         self.io.write_text_atomic(self._hint_path, str(v))  # THE commit point
         self._meta = meta
 
@@ -204,7 +290,7 @@ class LakeTable:
         if self._meta is not None and not refresh:
             return self._meta
         v = int(self.io.read_text(self._hint_path).strip())
-        self._meta = json.loads(self.io.read_text(self._meta_path(v)))
+        self._meta = self._load_meta_version(v)
         return self._meta
 
     @property
@@ -273,14 +359,22 @@ class LakeTable:
         for v in self._all_versions():
             m = json.loads(self.io.read_text(self._meta_path(v)))
             s = m["snapshot"]
+            refs = s.get("manifest_list")
+            if refs is not None:
+                # the refs carry file/row counts: no segment loads needed
+                n_files = sum(int(r["n_files"]) for r in refs)
+                n_rows = sum(int(r.get("rows") or 0) for r in refs)
+            else:
+                n_files = len(s.get("manifest", []))
+                n_rows = sum(f.get("rows", 0) for f in s.get("manifest", []))
             out.append(
                 {
                     "version": m["version"],
                     "schema_id": m["schema"]["schema_id"],
                     "applied_upto_lsn": s["applied_upto_lsn"],
                     "batch_id": s.get("batch_id"),
-                    "files": len(s.get("manifest", [])),
-                    "rows": sum(f.get("rows", 0) for f in s.get("manifest", [])),
+                    "files": n_files,
+                    "rows": n_rows,
                     "timestamp_ms": s.get("timestamp_ms"),
                     "metrics": s.get("metrics", {}),
                 }
@@ -289,8 +383,7 @@ class LakeTable:
 
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: scan the table as of an older snapshot."""
-        meta = json.loads(self.io.read_text(self._meta_path(version)))
-        return self.read(spark, _meta_override=meta)
+        return self.read(spark, _meta_override=self._load_meta_version(version))
 
     def schema_by_id(self, schema_id: int) -> TableSchema:
         for s in self.metadata(refresh=False)["schemas"]:
@@ -510,11 +603,61 @@ class LakeTable:
                         f"slots {sorted(replaced)}: true conflict, aborting "
                         "(a rebase would drop the other writer's files)"
                     )
-            keep = [
-                m for m in meta["snapshot"]["manifest"]
-                if (m.get("spec_id", 0), m["bucket"]) not in replaced
+            # segment-aware manifest update (r4 ask #5).  Segments are
+            # CLUSTERED by bucket group (bucket % _MANIFEST_GROUPS): a
+            # bucket's files live in a few group-aligned segments, so a
+            # commit replacing one bucket loads+rewrites only that group's
+            # slice (~1/G of the table) plus its own new files, and every
+            # untouched segment is re-referenced byte-for-byte.  Without
+            # grouping, an append-heavy history spreads every bucket across
+            # every segment and one replaced bucket degenerates back to an
+            # O(total files) rewrite.
+            G = _MANIFEST_GROUPS
+            old_refs = meta["snapshot"].get("manifest_list")
+            pending: dict[int, list[dict]] = {}  # group -> entries to write
+            keep_refs: list[dict] = []
+            if old_refs is None:
+                # pre-segmentation table: one-time migration into groups
+                for m in meta["snapshot"]["manifest"]:
+                    if (m.get("spec_id", 0), m["bucket"]) not in replaced:
+                        pending.setdefault(int(m["bucket"]) % G, []).append(m)
+            else:
+                for ref in old_refs:
+                    slots = {tuple(sl) for sl in ref.get("slots", [])}
+                    if slots & replaced:
+                        for m in self._load_segment(ref["path"]):
+                            if (m.get("spec_id", 0), m["bucket"]) \
+                                    not in replaced:
+                                pending.setdefault(
+                                    int(m["bucket"]) % G, []
+                                ).append(m)
+                    else:
+                        keep_refs.append(ref)
+            for nf in new_files:
+                pending.setdefault(int(nf["bucket"]) % G, []).append(nf)
+            # per-group fold: when a group we are writing anyway has
+            # accumulated >3 kept segments, fold all but the largest into
+            # this commit's segment — bounds live segments at ~4 per group
+            # with amortized O(1) extra write per commit
+            by_group: dict[int, list[dict]] = {}
+            for ref in keep_refs:
+                by_group.setdefault(int(ref.get("group", -1)), []).append(ref)
+            folded_paths: set[str] = set()
+            new_refs: list[dict] = []
+            for g, entries in sorted(pending.items()):
+                kin = by_group.get(g, [])
+                if len(kin) > 3:
+                    kin.sort(key=lambda r: int(r["n_files"]))
+                    for ref in kin[:-1]:
+                        entries = self._load_segment(ref["path"]) + entries
+                        folded_paths.add(ref["path"])
+                seg = self._write_segment(entries)
+                seg["group"] = g
+                new_refs.append(seg)
+            new_refs += [r for r in keep_refs if r["path"] not in folded_paths]
+            manifest = [
+                m for ref in new_refs for m in self._load_segment(ref["path"])
             ]
-            manifest = keep + new_files
             offsets = dict(meta["snapshot"].get("offsets", {}))
             for nf in new_files:
                 if nf.get("max_lsn") is not None:
@@ -533,7 +676,8 @@ class LakeTable:
                     int(meta["snapshot"]["applied_upto_lsn"]),
                 ),
                 "batch_id": batch_id,
-                "manifest": manifest,
+                "manifest": manifest,  # in-memory view; disk gets the refs
+                "manifest_list": new_refs,
                 "offsets": offsets,
                 "metrics": metrics or {},
                 "timestamp_ms": int(time.time() * 1000),
@@ -805,16 +949,27 @@ class LakeTable:
         writer — an in-flight batch directory is not yet referenced (same
         caveat as Iceberg's remove_orphan_files grace period)."""
         referenced: set[str] = set()
+        referenced_segments: set[str] = set()
         for v in self._all_versions():
-            m = json.loads(self.io.read_text(self._meta_path(v)))
+            m = self._load_meta_version(v)
             for f in m["snapshot"]["manifest"]:
                 referenced.add(f["path"])
+            for r in m["snapshot"].get("manifest_list") or []:
+                referenced_segments.add(r["path"])
         removed = []
         for rel in self.io.list_files(self._data_dir):
             rel_from_table = os.path.join("data", rel)
             if rel_from_table not in referenced:
                 self.io.remove_file(os.path.join(self.path, rel_from_table))
                 removed.append(rel_from_table)
+        # manifest segments referenced by no retained snapshot (expired
+        # history, losing CAS attempts) are orphans too
+        if self.io.exists(self._manifest_dir):
+            for rel in self.io.list_files(self._manifest_dir):
+                seg_rel = os.path.join("metadata", "manifests", rel)
+                if seg_rel not in referenced_segments:
+                    self.io.remove_file(os.path.join(self.path, seg_rel))
+                    removed.append(seg_rel)
         return removed
 
     # ------------------------------------------------------------ changelog
@@ -838,12 +993,12 @@ class LakeTable:
         types upcast — the same read-time reconciliation rule the per-file
         scan applies), so deletes union cleanly with upserts.
         """
-        meta_from = json.loads(self.io.read_text(self._meta_path(from_version)))
+        meta_from = self._load_meta_version(from_version)
         wm = int(meta_from["snapshot"]["applied_upto_lsn"])
         old = self.read(spark, _meta_override=meta_from)
         to_meta = (
             self.metadata() if to_version is None
-            else json.loads(self.io.read_text(self._meta_path(to_version)))
+            else self._load_meta_version(to_version)
         )
         to_schema = TableSchema.from_json(to_meta["schema"])
         to_struct = to_schema.to_spark(with_lineage=True)

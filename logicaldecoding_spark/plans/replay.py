@@ -145,14 +145,16 @@ _SALT_SHARE_THRESHOLD = 0.3
 def _salt_topk_expr(pk: tuple[str, ...]):
     """approx_top_k sketch over DATA events' primary keys, as one aggregate
     expression (heavy-hitter counts in the sketch are near-exact for a key
-    holding a constant share of the batch; non-data rows fold to NULL and
-    are ignored)."""
+    holding a constant share of the batch).  Non-data rows are excluded
+    with an aggregate FILTER clause — NOT a CASE-to-NULL fold:
+    approx_top_k COUNTS null as an item, so the marker rows' nulls would
+    masquerade as the hottest 'key' and flip salting on for every batch."""
     from pyspark.sql import functions as F
 
     keyc = ", ".join(f"`{c}`" for c in pk)
     return F.expr(
-        "approx_top_k(CASE WHEN op IN ('I','U','D') THEN "
-        f"concat_ws(char(31), {keyc}) END, 1, 10000)"
+        f"approx_top_k(concat_ws(char(31), {keyc}), 1, 10000) "
+        "FILTER (WHERE op IN ('I','U','D'))"
     ).alias("_topk")
 
 
@@ -167,6 +169,8 @@ def _salt_decision(
     batch the plan stays single-phase (map-side combine already bounds
     uniform keys)."""
     if not topk or n_events <= 0:
+        return None
+    if topk[0]["item"] is None:  # belt-and-braces: never salt on a null key
         return None
     top = int(topk[0]["count"])
     if top < share_threshold * n_events:

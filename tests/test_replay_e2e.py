@@ -233,3 +233,16 @@ def test_auto_salting_end_to_end_hot_key_log(spark, tmp_path):
     )
     state, _ = replay_oracle(log)
     assert_converged(spark, table_path, state)
+
+    # negative control: a no-hot-key log must NOT engage salting (the
+    # marker rows' nulls once masqueraded as the hottest 'key' — the
+    # sketch must exclude non-data rows, not fold them to null)
+    log_u = str(tmp_path / "uniform.parquet")
+    generate_log(log_u, n_txns=400, n_repos=50, paths_per_repo=10,
+                 zipf_s=0.0)
+    run_u = replay(spark, log_u, str(tmp_path / "t_uniform"), n_buckets=4,
+                   salt_auto_min_events=500)
+    assert all(not b.get("salt_auto")
+               for b in run_u["batches"] if b["kind"] == "data"), (
+        f"salting engaged on a uniform log: {run_u['batches']}"
+    )

@@ -139,3 +139,86 @@ def test_replay_multi_single_table_parity(spark, multi_log, tmp_path):
            for r in LakeTable.load(str(tmp_path / "multi1"))
            .read(spark).collect()}
     assert one == two
+
+
+def test_replay_multi_sidecar_wire(spark, tmp_path):
+    """Multi-table replay on the tuple-sidecar capture: routing reads the
+    capture's own table column, planning stays payload-free, and each
+    table converges to its oracle exactly as on the payload wire."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # rebuild the multi-table log WITH the sidecar columns: re-generate the
+    # base capture as a sidecar log, then re-route table assignment the
+    # same way the payload fixture did (txid parity; R events by order)
+    base = str(tmp_path / "base_sc.parquet")
+    generate_log(
+        base, n_txns=200, n_repos=12, paths_per_repo=6,
+        schema_changes=[
+            SchemaChangeSpec(at_txn=60, kind="add_column",
+                             column="size", type="int"),
+            SchemaChangeSpec(at_txn=120, kind="add_column",
+                             column="stars", type="long"),
+        ],
+        tuple_sidecar=True,
+    )
+    t = pq.read_table(base)
+    ops = t.column("op").to_pylist()
+    txids = t.column("txid").to_pylist()
+    payloads = t.column("payload").to_pylist()
+    tables = t.column("table").to_pylist()
+    r_seen = 0
+    new_tbl, new_payload = [], []
+    for op, txid, tbl_v, p in zip(ops, txids, tables, payloads):
+        ev = json.loads(p)
+        if op in ("I", "U", "D"):
+            name = "repos" if txid % 2 == 0 else "repos2"
+            ev["table"] = name
+            new_tbl.append(name)
+        elif op == "R":
+            name = "repos" if r_seen == 0 else "repos2"
+            r_seen += 1
+            ev["table"] = name
+            new_tbl.append(name)
+        else:
+            new_tbl.append(tbl_v)
+        new_payload.append(json.dumps(ev, separators=(",", ":")))
+    cols = {n: t.column(n) for n in t.schema.names}
+    cols["table"] = pa.array(new_tbl, pa.string())
+    cols["payload"] = pa.array(new_payload, pa.string())
+    log_sc = str(tmp_path / "multi_sc.parquet")
+    pq.write_table(pa.table(cols), log_sc)
+
+    run = replay_multi(
+        spark, log_sc,
+        {"repos": str(tmp_path / "sa"), "repos2": str(tmp_path / "sb")},
+        n_buckets=4,
+    )
+    assert run["planning_scans"] == 1
+    # fresh generation -> build the per-table oracles from THIS log
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "lsn": t.column("lsn").to_pylist(),
+        "txid": txids, "seq": t.column("seq").to_pylist(),
+        "op": ops, "payload": new_payload,
+    })
+
+    def table_log(name):
+        def keep(p):
+            ev = json.loads(p)
+            if ev["op"] in ("B", "C"):
+                return True
+            if ev["op"] == "R":
+                return ev.get("table") in (None, name)
+            return ev.get("table") == name
+
+        f = pdf[pdf["payload"].map(keep)]
+        path = str(tmp_path / f"sc_only_{name}.parquet")
+        f.to_parquet(path, index=False)
+        return path
+
+    state_a, _ = replay_oracle(table_log("repos"))
+    state_b, _ = replay_oracle(table_log("repos2"))
+    assert_converged(spark, str(tmp_path / "sa"), state_a)
+    assert_converged(spark, str(tmp_path / "sb"), state_b)

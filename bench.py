@@ -142,8 +142,21 @@ def run_replay(spark, log_path: str, table_path: str, parse_mode: str,
     return run
 
 
+def _load1() -> float | None:
+    """1-minute loadavg — co-tenant interference telemetry: a high value
+    BEFORE the bench starts explains depressed absolute numbers (see
+    BENCH/BASELINE.md round-5 ambient-load analysis)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
 def main() -> None:
     import shutil
+
+    load_start = _load1()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -225,6 +238,8 @@ def main() -> None:
         "queries": query_secs,
         "queries_warm": query_warm_secs,
         "sf": sf,
+        "loadavg_ambient": load_start,
+        "loadavg_end": _load1(),
     }
     prev = _prev_round_bench()
     if prev:

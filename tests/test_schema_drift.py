@@ -158,3 +158,29 @@ def test_typeinfo_growth_warns_even_with_missing_datums(spark, tmp_path):
     with pytest.warns(UserWarning, match="new_typeinfo"):
         replay(spark, log, str(tmp_path / "t_ti"), parse_mode="proto",
                n_buckets=2)
+
+
+def test_drift_evolve_mor_mode(spark, drift_log, tmp_path):
+    """Drift auto-evolution composes with merge-on-read: the evolved column
+    lands in delta files, reconciliation NULL-fills pre-drift rows, and
+    compaction preserves the converged state."""
+    table_path = str(tmp_path / "t_mor")
+    replay(spark, drift_log, table_path, n_buckets=4,
+           schema_drift="evolve", merge_mode="mor")
+    oracle = _oracle_knowing_stars(drift_log)
+    assert_converged(spark, table_path, oracle)
+    t = LakeTable.load(table_path)
+    assert "stars" in {f.name for f in t.schema.fields}
+    t.compact(spark)
+    assert_converged(spark, table_path, oracle)
+
+
+def test_drift_warn_mor_mode_is_loud(spark, drift_log, tmp_path):
+    """The zero-extra-pass warn observation fires on the MoR write path too
+    (deltas are written without a target read, but the observed frame is
+    still consumed exactly once)."""
+    table_path = str(tmp_path / "t_mor_warn")
+    with pytest.warns(UserWarning, match="schema drift.*stars"):
+        replay(spark, drift_log, table_path, n_buckets=4, merge_mode="mor")
+    state, _ = replay_oracle(drift_log)
+    assert_converged(spark, table_path, state)

@@ -1,2 +1,2 @@
-from .batches import BatchPlan, plan_batches  # noqa: F401
-from .replay import replay  # noqa: F401
+from .batches import BatchPlan, plan_batches, plan_batches_multi  # noqa: F401
+from .replay import SchemaDriftError, replay, replay_multi  # noqa: F401

@@ -685,6 +685,9 @@ def apply_plans_multi(
     schema_drift: str = "warn",
     salt_auto_min_events: int = 100_000,
     batch_id_offset: int = 0,
+    # False under a streaming foreachBatch (Observation.get never resolves
+    # there — see apply_plans); 'warn' then uses the pre-merge check
+    drift_observation_ok: bool = True,
 ) -> dict[str, list[dict]]:
     """Apply one multi-table plan set with ONE slim scan per data batch.
 
@@ -833,7 +836,8 @@ def apply_plans_multi(
             drift_obs = None
             drift_info = None
             drift_cache = None
-            if schema_drift in ("strict", "evolve"):
+            warn_prepass = schema_drift == "warn" and not drift_observation_ok
+            if schema_drift in ("strict", "evolve") or warn_prepass:
                 drift_cache = pre_typed.persist()
                 pre_typed = drift_cache
                 unknown = _unknown_tuple_keys(pre_typed, schema)
@@ -846,10 +850,22 @@ def apply_plans_multi(
                             f"table {name!r} batch {i}: events carry tuple "
                             f"columns outside the table schema: {unknown}"
                         )
-                    for c in unknown:
-                        tbl.evolve_schema("add_column", c, "string")
-                    schema = tbl.schema
-                    drift_info = {"evolved_columns": unknown}
+                    if warn_prepass:
+                        import warnings
+
+                        warnings.warn(
+                            f"schema drift detected (table {name!r}): "
+                            f"tuple columns outside the table schema "
+                            f"({unknown}) are NOT applied — rerun with "
+                            "schema_drift='evolve' to capture them",
+                            stacklevel=2,
+                        )
+                        drift_info = {"example_cols": unknown}
+                    else:
+                        for c in unknown:
+                            tbl.evolve_schema("add_column", c, "string")
+                        schema = tbl.schema
+                        drift_info = {"evolved_columns": unknown}
             elif schema_drift == "warn":
                 from pyspark.sql import Observation
 

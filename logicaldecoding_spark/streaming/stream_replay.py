@@ -52,8 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.batches import plan_batches
-from ..plans.replay import apply_plans, ensure_table
+from ..plans.batches import plan_batches, plan_batches_multi
+from ..plans.replay import apply_plans, apply_plans_multi, ensure_table
 from ..schema import OP_COMMIT, REPOS_PK, TableSchema
 from ..table.fileio import LocalFileIO
 
@@ -163,7 +163,12 @@ def _classify_txns(combined: DataFrame, wire: str = "json") -> DataFrame:
 def stream_replay(
     spark: SparkSession,
     log_dir: str,
-    table_path: str,
+    # a single table directory, or {source_table_name: table_path} to tail
+    # a MULTI-TABLE capture: classification/pending sidecars are shared
+    # (transaction-level), each micro-batch is planned once and applied to
+    # every table off one slim pass (plan_batches_multi/apply_plans_multi),
+    # and each table keeps its own snapshots/watermark
+    table_path: str | dict[str, str],
     checkpoint_dir: str,
     *,
     initial_schema: TableSchema | None = None,
@@ -204,7 +209,13 @@ def stream_replay(
     from ..dist import ship_package
 
     ship_package(spark)  # executor workers import this package inside UDFs
-    ensure_table(table_path, initial_schema, pk, n_buckets)
+    multi = isinstance(table_path, dict)
+    tables: dict[str, str] = table_path if multi else {}
+    if multi:
+        for p_ in tables.values():
+            ensure_table(p_, initial_schema, pk, n_buckets)
+    else:
+        ensure_table(table_path, initial_schema, pk, n_buckets)
     io = LocalFileIO()
     wire = parse_mode if parse_mode in ("proto", "sidecar") else "json"
     file_schema = log_file_schema(wire, pk)
@@ -319,6 +330,62 @@ def stream_replay(
             )
 
             batch = applyable.select(*cols)
+            if multi:
+                sinks = {
+                    n_: ensure_table(p_, initial_schema, pk, n_buckets)
+                    for n_, p_ in tables.items()
+                }
+                plans_by_table = plan_batches_multi(
+                    batch, list(tables), target_data_batches=1,
+                    parse_mode="proto" if wire == "proto" else "native",
+                )
+                if any(plans_by_table.values()):
+                    hi = max(p.lsn_to for pl in plans_by_table.values()
+                             for p in pl)
+                    min_wm = min(t_.applied_upto_lsn for t_ in sinks.values())
+                    if hi <= min_wm and df.limit(1).count() > 0:
+                        msg = (
+                            f"micro-batch max lsn {hi} <= every table "
+                            f"watermark (min {min_wm}): re-delivered batch "
+                            "(benign) or out-of-LSN-order file arrival "
+                            "(data loss); archive files must arrive in "
+                            "LSN order"
+                        )
+                        if strict_order:
+                            raise LateFileError(msg)
+                        import warnings
+
+                        warnings.warn(msg, stacklevel=2)
+                    apply_plans_multi(
+                        spark, sinks, plans_by_table,
+                        lambda lo, hi2: batch.filter(
+                            (batch.lsn > (lo or 0)) & (batch.lsn <= hi2)
+                        ),
+                        parse_mode=parse_mode,
+                        slim_mode=(
+                            wire if wire in ("proto", "sidecar") else "duckdb"
+                        ),
+                        salt_buckets=salt_buckets,
+                        batch_id_offset=epoch * 1000,
+                        merge_mode=merge_mode,
+                        schema_drift=schema_drift,
+                        drift_observation_ok=False,
+                    )
+                status.unpersist()
+                if auto_compact_deltas is not None:
+                    for p_ in tables.values():
+                        _compact_hot_delta_slots(spark, p_,
+                                                 auto_compact_deltas)
+                # prune sidecars older than the retention window
+                for root in (pending_root, aborted_root):
+                    if io.exists(root):
+                        for entry in io.listdir(root):
+                            if entry.startswith("epoch="):
+                                e = int(entry.split("=", 1)[1])
+                                if e < epoch - keep_pending_epochs:
+                                    io.remove_tree(os.path.join(root, entry))
+                return
+
             plans = plan_batches(
                 batch, target_data_batches=1,
                 parse_mode="proto" if wire == "proto" else "native",

@@ -222,3 +222,28 @@ def test_replay_multi_sidecar_wire(spark, tmp_path):
     state_b, _ = replay_oracle(table_log("repos2"))
     assert_converged(spark, str(tmp_path / "sa"), state_a)
     assert_converged(spark, str(tmp_path / "sb"), state_b)
+
+
+def test_stream_replay_multi_table(spark, multi_log, tmp_path):
+    """The live tail on a multi-table capture: shared transaction
+    classification and pending sidecars, one planning pass per micro-batch,
+    per-table convergence — including transactions straddling file cuts."""
+    from logicaldecoding_spark.generator import split_log_dir
+    from logicaldecoding_spark.streaming.stream_replay import stream_replay
+
+    log, only_a, only_b = multi_log
+    log_dir = str(tmp_path / "mlog_dir")
+    split_log_dir(log, log_dir, n_files=6, cut_mid_txn=True)
+    tables = {"repos": str(tmp_path / "st_a"), "repos2": str(tmp_path / "st_b")}
+    q = stream_replay(
+        spark, log_dir, tables, str(tmp_path / "ckpt_multi"),
+        n_buckets=4, parse_mode="native", max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state_a, _ = replay_oracle(only_a)
+    state_b, _ = replay_oracle(only_b)
+    assert_converged(spark, tables["repos"], state_a)
+    assert_converged(spark, tables["repos2"], state_b)

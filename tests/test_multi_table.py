@@ -247,3 +247,28 @@ def test_stream_replay_multi_table(spark, multi_log, tmp_path):
     state_b, _ = replay_oracle(only_b)
     assert_converged(spark, tables["repos"], state_a)
     assert_converged(spark, tables["repos2"], state_b)
+
+
+def test_replay_multi_resume_per_table_watermarks(spark, multi_log, tmp_path):
+    """Each table resumes from ITS OWN watermark: pre-advancing one table
+    past the log leaves only the other to apply, and a full rerun over
+    both is an idempotent no-op with converged state."""
+    from logicaldecoding_spark.table.format import LakeTable
+
+    log, only_a, only_b = multi_log
+    tables = {"repos": str(tmp_path / "ra"), "repos2": str(tmp_path / "rb")}
+    run1 = replay_multi(spark, log, tables, n_buckets=4)
+    v_a = LakeTable.load(tables["repos"]).version
+    v_b = LakeTable.load(tables["repos2"]).version
+    # idempotent rerun: both tables' watermarks skip everything
+    run2 = replay_multi(spark, log, tables, n_buckets=4)
+    assert LakeTable.load(tables["repos"]).version == v_a
+    assert LakeTable.load(tables["repos2"]).version == v_b
+    assert all(
+        not [b for b in t["batches"] if b["kind"] == "data"]
+        for t in run2["tables"].values()
+    )
+    state_a, _ = replay_oracle(only_a)
+    state_b, _ = replay_oracle(only_b)
+    assert_converged(spark, tables["repos"], state_a)
+    assert_converged(spark, tables["repos2"], state_b)

@@ -184,3 +184,26 @@ def test_drift_warn_mor_mode_is_loud(spark, drift_log, tmp_path):
         replay(spark, drift_log, table_path, n_buckets=4, merge_mode="mor")
     state, _ = replay_oracle(drift_log)
     assert_converged(spark, table_path, state)
+
+
+def test_drift_evolve_streaming(spark, drift_log, tmp_path):
+    """The live tail auto-evolves on drift too (the foreachBatch path uses
+    the pre-merge check, not Observations): a mid-stream column with no R
+    event converges with the knowing oracle across micro-batches."""
+    from logicaldecoding_spark.generator import split_log_dir
+    from logicaldecoding_spark.streaming.stream_replay import stream_replay
+
+    log_dir = str(tmp_path / "drift_dir")
+    split_log_dir(drift_log, log_dir, n_files=5, cut_mid_txn=True)
+    table_path = str(tmp_path / "t_stream_evolve")
+    q = stream_replay(
+        spark, log_dir, table_path, str(tmp_path / "ckpt_evolve"),
+        n_buckets=4, parse_mode="native", max_files_per_trigger=2,
+        schema_drift="evolve",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert "stars" in {f.name for f in LakeTable.load(table_path).schema.fields}
+    assert_converged(spark, table_path, _oracle_knowing_stars(drift_log))

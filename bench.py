@@ -79,6 +79,24 @@ def bench_log_path(sf: float, cache_dir: str | None = None,
     return path, stats
 
 
+def bench_proto_log_path(sf: float) -> tuple[str, dict]:
+    """Protobuf-wire twin of the bench log (decoderbufs RowMessage payload
+    bytes), cached: measures the proto replay end-to-end incl. the
+    first-party C batch decoder (proto_native)."""
+    from logicaldecoding_spark.sources.proto import convert_log_to_proto
+
+    json_log, stats = bench_log_path(sf)
+    path = json_log.replace(".parquet", ".proto.parquet")
+    meta_path = path + ".meta.json"
+    if os.path.exists(path) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return path, json.load(f)
+    convert_log_to_proto(json_log, path)
+    with open(meta_path, "w") as f:
+        json.dump(stats, f)
+    return path, stats
+
+
 def _prev_round_bench() -> dict | None:
     """Latest committed BENCH_r{N}.json, for self-reported round deltas
     (r3 verdict ask #8: regressions must be visible in the bench output
@@ -115,7 +133,8 @@ def _deltas(cur: dict, prev: dict) -> dict:
         out["events_per_sec"] = round(
             cur["events_per_sec"] - prev["events_per_sec"], 1
         )
-    for k in ("sidecar_wall", "sidecar_events_per_sec"):
+    for k in ("sidecar_wall", "sidecar_events_per_sec",
+              "proto_wall", "proto_events_per_sec"):
         if isinstance(prev.get(k), (int, float)) and \
                 isinstance(cur.get(k), (int, float)):
             out[k] = round(cur[k] - prev[k], 3 if k.endswith("wall") else 1)
@@ -200,6 +219,14 @@ def main() -> None:
     sc_run = run_replay(spark, sc_log, sc_table, "auto")
     sc_eps = sc_stats["data_events"] / sc_run["wall_secs"]
 
+    # --- capability: the decoderbufs protobuf wire (reference wire format;
+    # decode = the C batch decoder compiled at runtime, r5) ---
+    pb_log, pb_stats = bench_proto_log_path(sf)
+    pb_table = os.path.join(REPO, ".bench", f"table_{cpus}_proto")
+    shutil.rmtree(pb_table, ignore_errors=True)
+    pb_run = run_replay(spark, pb_log, pb_table, "proto")
+    pb_eps = pb_stats["data_events"] / pb_run["wall_secs"]
+
     # --- headline operator queries at the sf dir ---
     import __spark_entry__ as entry_mod
 
@@ -232,6 +259,8 @@ def main() -> None:
         "events_per_sec": round(eps, 1),
         "sidecar_wall": round(sc_run["wall_secs"], 3),
         "sidecar_events_per_sec": round(sc_eps, 1),
+        "proto_wall": round(pb_run["wall_secs"], 3),
+        "proto_events_per_sec": round(pb_eps, 1),
         "log_rows": stats["rows"],
         "parse_mode": parse_mode,
         "cpus": cpus,

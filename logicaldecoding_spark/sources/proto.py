@@ -34,12 +34,14 @@ Canonical mapping (wire <-> the engine's event columns):
 * ``seq`` does not exist on the wire (decoderbufs orders by the replication
   stream's XLogData framing, as does our ``lsn`` column): decoded as 0.
 
-Performance note, honestly: decode is pure Python per message inside an
-Arrow batch — the floor without a C protobuf library.  The JSON modes
-(duckdb yyjson / pyarrow C++ JSON) remain the 100 TB hot path; this mode
-exists for wire-format parity and interop, and the seam is one function
-(``decode_row_message``) to swap for google.protobuf's upb runtime where
-it is installed.
+Performance: the pure-Python per-message codec in this module is the
+portable floor and the semantics reference.  The DEFAULT hot path is the
+first-party C batch decoder (proto_native.py — compiled once with the
+system C compiler, loaded via ctypes, one C call per Arrow batch,
+auto-installed through the fast-decoder seam below, measured ~3x the
+pure-Python parse end-to-end): no compiler -> silent fallback to pure
+Python.  The seam (``set_fast_decoders``) equally accepts google.protobuf
+upb / generated bindings where installed.
 """
 
 from __future__ import annotations
@@ -404,14 +406,23 @@ def decode_row_header(b: bytes) -> tuple[int | None, str]:
 _FAST_DECODERS: dict[str, object] = {}
 
 
-def set_fast_decoders(full=None, header=None) -> None:
+def set_fast_decoders(full=None, header=None,
+                      full_batch=None, header_batch=None) -> None:
     """Install (or with ``None``, uninstall back to the pure-Python codec)
     fast decode callables.  ``full``: bytes -> canonical event dict, same
     contract as :func:`decode_row_message`.  ``header``: bytes ->
-    (txid, op), same contract as :func:`decode_row_header`.  Call BEFORE
-    building the query plan — bodies already built keep the decoder they
-    closed over."""
-    for key, fn in (("full", full), ("header", header)):
+    (txid, op), same contract as :func:`decode_row_header`.
+
+    The BATCH forms decode one whole Arrow batch per call (the shape a
+    C/ctypes or upb-based decoder wants — see proto_native.py):
+    ``full_batch(lsn: pa.Array, payload: pa.Array) -> pa.RecordBatch`` in
+    the parse output schema; ``header_batch(payload) -> (txid ndarray,
+    op pa.Array)``.  When installed they take precedence over the
+    per-message forms in the make_* factories.  Call BEFORE building the
+    query plan — bodies already built keep the decoder they closed over."""
+    for key, fn in (("full", full), ("header", header),
+                    ("full_batch", full_batch),
+                    ("header_batch", header_batch)):
         if fn is None:
             _FAST_DECODERS.pop(key, None)
         else:
@@ -426,11 +437,40 @@ def resolve_decoders():
     )
 
 
+_NATIVE_TRIED = False
+
+
+def ensure_native_default() -> None:
+    """Best-effort default: when NO decoder has been explicitly installed,
+    compile (cached) + install the first-party C batch decoder
+    (proto_native.py) once per process.  Explicit set_fast_decoders calls
+    always win — installing a per-message decoder pops the batch keys, so
+    a test or user override is never shadowed.  No compiler -> silently
+    stays on the pure-Python codec."""
+    global _NATIVE_TRIED
+    if _FAST_DECODERS or _NATIVE_TRIED:
+        return
+    _NATIVE_TRIED = True
+    from .proto_native import try_enable_native_proto
+
+    try_enable_native_proto()
+
+
 # ---------------------------------------------------------------------------
 # Arrow-batch decode (the mapInArrow bodies for parse mode 'proto');
 # factories resolve the fast-decoder seam at build time (see above)
 # ---------------------------------------------------------------------------
 def make_proto_batches():
+    ensure_native_default()
+    fb = _FAST_DECODERS.get("full_batch")
+    if fb is not None:
+        def proto_batches_fast(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                yield fb(batch.column("lsn"), batch.column("payload"))
+
+        return proto_batches_fast
     decode = resolve_decoders()[0]
     from .parse import _CHANGE_T, _MAP_T, _OUT_ARROW_SCHEMA, _TYPEINFO_T
 
@@ -459,6 +499,24 @@ def make_proto_batches():
 
 def make_proto_marker_batches():
     """(lsn, payload) -> (lsn, txid, op) via the header-only decode."""
+    ensure_native_default()
+    hb = _FAST_DECODERS.get("header_batch")
+    if hb is not None:
+        def proto_marker_batches_fast(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                txid, ops = hb(batch.column("payload"))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("lsn").cast(pa.int64()),
+                        pa.array(txid, pa.int64()),
+                        ops,
+                    ],
+                    names=["lsn", "txid", "op"],
+                )
+
+        return proto_marker_batches_fast
     decode_hdr = resolve_decoders()[1]
 
     def proto_marker_batches(
@@ -485,6 +543,24 @@ def make_proto_tagged_batches():
     """(lsn, payload) -> (lsn, payload, txid): the streaming path's txid
     tagging for protobuf-wire logs (the JSON wire uses a JVM-side
     get_json_object; binary payloads need the header decode)."""
+    ensure_native_default()
+    hb = _FAST_DECODERS.get("header_batch")
+    if hb is not None:
+        def proto_tagged_batches_fast(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                txid, _ops = hb(batch.column("payload"))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("lsn").cast(pa.int64()),
+                        batch.column("payload").cast(pa.binary()),
+                        pa.array(txid, pa.int64()),
+                    ],
+                    names=["lsn", "payload", "txid"],
+                )
+
+        return proto_tagged_batches_fast
     decode_hdr = resolve_decoders()[1]
 
     def proto_tagged_batches(

@@ -294,3 +294,107 @@ def test_fast_decoder_seam_injects_through_all_paths(spark, tmp_path):
     assert clean.filter(
         F.try_element_at("new_tuple", F.lit("__via__")).isNotNull()
     ).count() == 0
+
+
+def test_native_batch_decoder_matches_python_codec(spark, tmp_path):
+    """The compiled C batch decoder (proto_native, auto-installed through
+    the fast-proto seam) must reproduce the pure-Python codec EXACTLY —
+    including the rows it falls back on (R events, typeinfo,
+    float/double/point datums, spliced by position) and edge shapes
+    (missing datums -> absent keys, unicode, empty tuples, bytes->base64,
+    negative ints, null maps for markers)."""
+    import pyarrow as pa
+
+    from logicaldecoding_spark.sources import proto as P
+    from logicaldecoding_spark.sources.proto import (
+        decode_row_message,
+        encode_row_message,
+    )
+    from logicaldecoding_spark.sources.proto_native import (
+        build_native_decoder,
+        make_native_full_batch,
+    )
+
+    msgs = [
+        encode_row_message(txid=1, commit_time_us=10, op="B"),
+        encode_row_message(txid=1, commit_time_us=10, op="I", table="répos",
+                           new={"repo": "r", "path": "p", "content": "日本語 x"},
+                           ),
+        encode_row_message(
+            txid=1, commit_time_us=10, op="U", table="repos",
+            new={"repo": "r", "path": "p"},
+            typed_datums={
+                "n32": ("int32", -7), "n64": ("int64", 3_000_000_000),
+                "f": ("float", 0.1), "d": ("double", 2.5),
+                "b": ("bool", True), "by": ("bytes", b"\x00\xff\x10"),
+                "pt": ("point", (1.5, -2.25)), "m": ("missing", None),
+            },
+        ),
+        encode_row_message(txid=1, commit_time_us=10, op="D", table="repos",
+                           old={"repo": "r", "path": "p"}),
+        encode_row_message(txid=9, commit_time_us=2, op="R",
+                           change={"kind": "add_column", "column": "size",
+                                   "type": "long"}),
+        encode_row_message(txid=2, commit_time_us=11, op="I", table="t",
+                           new={"k": None}),  # all-missing tuple
+        encode_row_message(txid=1, commit_time_us=10, op="C"),
+        encode_row_message(txid=3, commit_time_us=12, op="I", table="t",
+                           new={"x": "1"},
+                           typeinfo=[("int4", True), ("text", False)]),
+    ]
+    payload = pa.array(msgs, pa.binary())
+    lsn = pa.array(range(len(msgs)), pa.int64())
+    fb = make_native_full_batch(build_native_decoder())
+    got = fb(lsn, payload).to_pylist()
+    for i, (g, m) in enumerate(zip(got, msgs)):
+        e = decode_row_message(m)
+        want_new = e["new"] and dict(e["new"])
+        want_old = e["old"] and dict(e["old"])
+        assert g["txid"] == e["txid"] and g["op"] == e["op"], i
+        assert g["commit_time_us"] == e["ct"], i
+        assert g["table"] == e["table"], i
+        g_new = dict(g["new_tuple"]) if g["new_tuple"] is not None else None
+        g_old = dict(g["old_tuple"]) if g["old_tuple"] is not None else None
+        assert g_new == want_new, (i, g_new, want_new)
+        assert g_old == want_old, (i, g_old, want_old)
+        if e["change"]:
+            assert dict(g["schema_change"]) == e["change"], i
+        if e["typeinfo"]:
+            assert [dict(t) for t in g["new_typeinfo"]] == e["typeinfo"], i
+
+    # executor-path equality on a generated log: identical parse output
+    # fingerprints with and without the native decoder
+    from pyspark.sql import functions as F
+
+    from logicaldecoding_spark.generator import SchemaChangeSpec, generate_log
+    from logicaldecoding_spark.sources.parse import parse_events
+
+    log = str(tmp_path / "w.parquet")
+    generate_log(log, n_txns=150, n_repos=10, paths_per_repo=5,
+                 schema_changes=[SchemaChangeSpec(70, "add_column",
+                                                  "size", "int")],
+                 payload_format="proto")
+    raw = spark.read.parquet(log).select("lsn", "payload")
+
+    def fingerprint():
+        return parse_events(raw, mode="proto").agg(
+            F.count("*"), F.sum("txid"), F.sum(F.crc32("op")),
+            F.sum(F.crc32(F.to_json(F.col("new_tuple")))),
+            F.sum(F.crc32(F.to_json(F.col("old_tuple")))),
+        ).collect()[0]
+
+    import os
+
+    P.set_fast_decoders()
+    P._NATIVE_TRIED = False
+    native = list(fingerprint())
+    os.environ["LOGICALDECODING_NO_NATIVE_PROTO"] = "1"
+    try:
+        P.set_fast_decoders()
+        P._NATIVE_TRIED = False
+        pure = list(fingerprint())
+    finally:
+        del os.environ["LOGICALDECODING_NO_NATIVE_PROTO"]
+        P.set_fast_decoders()
+        P._NATIVE_TRIED = False
+    assert native == pure

@@ -398,3 +398,55 @@ def test_native_batch_decoder_matches_python_codec(spark, tmp_path):
         P.set_fast_decoders()
         P._NATIVE_TRIED = False
     assert native == pure
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**32 - 1),   # txid
+                st.integers(min_value=0, max_value=2**62),       # ct
+                st.sampled_from(["I", "U", "D", "B", "C"]),
+                st.one_of(st.none(), _name),                     # table
+                st.dictionaries(_name, st.one_of(st.none(), _text),
+                                max_size=4),                     # new
+                st.dictionaries(_name, st.one_of(st.none(), _text),
+                                max_size=3),                     # old
+            ),
+            min_size=1, max_size=40,
+        )
+    )
+    def test_native_batch_decoder_property(rows):
+        """Arbitrary encoded batches: the C batch decoder's output equals
+        the pure-Python codec row-for-row (unicode names/values, missing
+        datums, markers, absent tables)."""
+        import pyarrow as pa
+
+        from logicaldecoding_spark.sources.proto_native import (
+            build_native_decoder,
+            make_native_full_batch,
+        )
+
+        msgs = []
+        for txid, ct, op, table, new, old in rows:
+            if op in ("B", "C"):
+                new, old, table = {}, {}, None
+            msgs.append(encode_row_message(
+                txid=txid, commit_time_us=ct, op=op, table=table,
+                new=new, old=old,
+            ))
+        fb = make_native_full_batch(build_native_decoder())
+        got = fb(pa.array(range(len(msgs)), pa.int64()),
+                 pa.array(msgs, pa.binary())).to_pylist()
+        for i, m in enumerate(msgs):
+            e = decode_row_message(m)
+            g = got[i]
+            assert g["txid"] == e["txid"] and g["op"] == e["op"]
+            assert g["commit_time_us"] == e["ct"]
+            assert g["table"] == e["table"]
+            g_new = dict(g["new_tuple"]) if g["new_tuple"] is not None else None
+            g_old = dict(g["old_tuple"]) if g["old_tuple"] is not None else None
+            assert g_new == (dict(e["new"]) if e["new"] else None)
+            assert g_old == (dict(e["old"]) if e["old"] else None)

@@ -356,8 +356,10 @@ def lsh_candidate_pairs(
         # that hash every doc into ONE degenerate bucket.
         meta = signatures.schema["_sig"].metadata or {}
         sig_k = meta.get("minhash_k")
-        if sig_k is not None:
-            assert int(sig_k) >= bands * rows, (
+        if sig_k is not None and int(sig_k) < bands * rows:
+            # a real raise, not assert: -O must not strip the guard (and
+            # its presence suppresses the runtime raise_error below)
+            raise ValueError(
                 f"need k >= bands*rows minhashes (k={sig_k}, "
                 f"bands*rows={bands * rows})"
             )

@@ -705,7 +705,14 @@ def apply_plans_multi(
     drift handling, auto-salting, idempotent watermark skip); parity is
     pinned by tests.  Requires eager-evolution plans (identical data tiling
     across tables — ``plan_batches_multi``'s default) and a shared pk
-    shape across sinks."""
+    shape across sinks.
+
+    Honest cost note: the one-scan-per-batch contract holds for the SLIM
+    (winner) path — the default below ``max_broadcast_keys``.  A table
+    that falls back to FULL compaction parses the whole raw tile for
+    itself (full already shuffles every event; the slim pass stays
+    shared), so k huge-key-count tables cost k full parses — raise
+    ``max_broadcast_keys`` or replay such tables separately."""
     from pyspark.sql import functions as F
 
     from ..sources.parse import parse_slim
@@ -724,6 +731,8 @@ def apply_plans_multi(
         for i, b in enumerate(plans_by_table[name]):
             if b.kind != "schema":
                 continue
+            if b.lsn_to <= tbl.applied_upto_lsn:
+                continue  # checkpointed (same skip as apply_plans)
             kind, column, type_name = b.change
             tbl.evolve_schema(
                 kind, column, type_name,

@@ -508,11 +508,7 @@ def make_proto_marker_batches():
             for batch in batches:
                 txid, ops = hb(batch.column("payload"))
                 yield pa.RecordBatch.from_arrays(
-                    [
-                        batch.column("lsn").cast(pa.int64()),
-                        pa.array(txid, pa.int64()),
-                        ops,
-                    ],
+                    [batch.column("lsn").cast(pa.int64()), txid, ops],
                     names=["lsn", "txid", "op"],
                 )
 
@@ -555,7 +551,7 @@ def make_proto_tagged_batches():
                     [
                         batch.column("lsn").cast(pa.int64()),
                         batch.column("payload").cast(pa.binary()),
-                        pa.array(txid, pa.int64()),
+                        txid,
                     ],
                     names=["lsn", "payload", "txid"],
                 )

@@ -105,7 +105,8 @@ static int32_t arena_put(uint8_t *arena, int32_t cap, int32_t *used,
 int decode_rowmsg_batch(
     const uint8_t *data, const int32_t *offsets, int32_t n,
     int32_t headers_only,
-    int64_t *txid, int64_t *ct, int8_t *opx, uint8_t *needs_py,
+    int64_t *txid, uint8_t *txid_valid, int64_t *ct, uint8_t *ct_valid,
+    int8_t *opx, uint8_t *needs_py,
     uint8_t *tab_arena, int32_t tab_cap, int32_t *tab_off, uint8_t *tab_valid,
     int32_t *new_counts, int32_t *old_counts,
     uint8_t *nk_arena, int32_t nk_cap, int32_t *nk_off,
@@ -123,7 +124,8 @@ int decode_rowmsg_batch(
 
     for (int32_t i = 0; i < n; i++) {
         rd_t r = { data + offsets[i], data + offsets[i + 1] };
-        txid[i] = 0; ct[i] = 0; opx[i] = OP_OTHER; needs_py[i] = 0;
+        txid[i] = 0; ct[i] = 0; txid_valid[i] = 0; ct_valid[i] = 0;
+        opx[i] = OP_OTHER; needs_py[i] = 0;
         tab_valid[i] = 0;
         new_counts[i] = 0; old_counts[i] = 0;
         int32_t tab_start = tab_used;
@@ -135,10 +137,10 @@ int decode_rowmsg_batch(
             uint64_t v;
             if (field == 1 && wire == 0) {
                 if (rd_varint(&r, &v)) { needs_py[i] = 1; break; }
-                txid[i] = (int64_t)v;
+                txid[i] = (int64_t)v; txid_valid[i] = 1;
             } else if (field == 2 && wire == 0) {
                 if (rd_varint(&r, &v)) { needs_py[i] = 1; break; }
-                ct[i] = (int64_t)v;
+                ct[i] = (int64_t)v; ct_valid[i] = 1;
             } else if (field == 3 && wire == 2) {
                 if (rd_varint(&r, &v) || (uint64_t)(r.end - r.p) < v) {
                     needs_py[i] = 1; break;
@@ -168,10 +170,14 @@ int decode_rowmsg_batch(
                 const uint8_t *name_p = 0; int32_t name_len = 0;
                 const uint8_t *sval_p = 0; int32_t sval_len = -1;
                 int is_b64 = 0;
-                int64_t ival = 0; int has_ival = 0;
-                int bval = -1;
+                int64_t ival = 0;
+                int bval = 0;
                 int missing = 0;
                 int dat_bad = 0;
+                /* last-field-wins across value arms (python codec parity
+                   on oneof-violating wires): 0 none, 1 str, 2 b64,
+                   3 int, 4 bool */
+                int kind = 0;
                 while (d.p < d.end) {
                     uint64_t dtag;
                     if (rd_varint(&d, &dtag)) { dat_bad = 1; break; }
@@ -183,19 +189,21 @@ int decode_rowmsg_batch(
                         name_p = d.p; name_len = (int32_t)dv; d.p += dv;
                     } else if ((df == 3 || df == 4) && dw == 0) {
                         if (rd_varint(&d, &dv)) { dat_bad = 1; break; }
-                        ival = (int64_t)dv; has_ival = 1;
+                        ival = (int64_t)dv; kind = 3;
                     } else if (df == 7 && dw == 0) {
                         if (rd_varint(&d, &dv)) { dat_bad = 1; break; }
-                        bval = dv ? 1 : 0;
+                        bval = dv ? 1 : 0; kind = 4;
                     } else if (df == 8 && dw == 2) {
                         if (rd_varint(&d, &dv) ||
                             (uint64_t)(d.end - d.p) < dv) { dat_bad = 1; break; }
                         sval_p = d.p; sval_len = (int32_t)dv; is_b64 = 0;
+                        kind = 1;
                         d.p += dv;
                     } else if (df == 9 && dw == 2) {
                         if (rd_varint(&d, &dv) ||
                             (uint64_t)(d.end - d.p) < dv) { dat_bad = 1; break; }
-                        sval_p = d.p; sval_len = (int32_t)dv; is_b64 = 1;
+                        sval_p = d.p; sval_len = (int32_t)dv; is_b64 = 2;
+                        kind = 2;
                         d.p += dv;
                     } else if (df == 11 && dw == 0) {
                         if (rd_varint(&d, &dv)) { dat_bad = 1; break; }
@@ -211,7 +219,7 @@ int decode_rowmsg_batch(
                 if (!name_p) continue;           /* nameless datum: dropped */
                 /* python codec parity: datum_missing AND no-value-arm
                    datums fold to an ABSENT key, not a null map value */
-                if (missing || (!sval_p && !has_ival && bval < 0)) continue;
+                if (missing || kind == 0) continue;
                 int is_new = (field == 5);
                 uint8_t *k_arena = is_new ? nk_arena : ok_arena;
                 int32_t  k_cap   = is_new ? nk_cap   : ok_cap;
@@ -226,11 +234,11 @@ int decode_rowmsg_batch(
                 if (*ndat + 1 > dat_cap) return 2;
                 if (arena_put(k_arena, k_cap, k_used, name_p, name_len) < 0)
                     return 1;
-                if (sval_p && !is_b64) {
+                if (kind == 1) {
                     if (arena_put(v_arena, v_cap, v_used, sval_p,
                                   sval_len) < 0) return 1;
                     v_valid[*ndat] = 1;
-                } else if (sval_p && is_b64) {
+                } else if (kind == 2) {
                     int32_t out_len = 4 * ((sval_len + 2) / 3);
                     if (*v_used + out_len > v_cap) return 1;
                     uint8_t *o = v_arena + *v_used;
@@ -251,7 +259,7 @@ int decode_rowmsg_batch(
                     }
                     *v_used += out_len;
                     v_valid[*ndat] = 1;
-                } else if (has_ival) {
+                } else if (kind == 3) {
                     int len = snprintf(tmp, sizeof tmp, "%lld",
                                        (long long)ival);
                     if (arena_put(v_arena, v_cap, v_used,
@@ -324,15 +332,27 @@ def _lib(so_path: str) -> ctypes.CDLL:
     return lib
 
 
-def decode_batch_native(so_path: str, payload, lsn=None):
+class NativeUtf8Error(RuntimeError):
+    """A decoded string region is not valid UTF-8 — the pure-Python codec
+    raises UnicodeDecodeError on such wires, so the native path must not
+    silently admit the bytes; callers fall the whole batch back to
+    Python."""
+
+
+def decode_batch_native(so_path: str, payload, lsn=None,
+                        headers_only: bool = False):
     """Decode one pyarrow binary array of RowMessage payloads via the C
     library; returns the columnar pieces.  Pure numpy/pyarrow assembly —
     the only per-row Python runs over the (rare) flagged rows, which the
     CALLER re-decodes with the pure-Python codec and splices by position.
 
+    ``headers_only`` skips ALL datum work C-side (fields 5/6 are
+    length-skipped): the marker/tagging paths need only (txid, op).
+
     Returns (batch_dict, needs_py_idx) where batch_dict holds arrays:
-    txid, ct(us), op(str array), table(StringArray w/ nulls),
-    new_tuple/old_tuple (MapArrays w/ nulls)."""
+    txid (Int64 w/ nulls), ct(us, Int64 w/ nulls), op (str array),
+    table (StringArray w/ nulls), new_tuple/old_tuple (MapArrays w/
+    nulls; None in headers_only mode)."""
     import numpy as np
     import pyarrow as pa
 
@@ -364,7 +384,9 @@ def decode_batch_native(so_path: str, payload, lsn=None):
         return a.ctypes.data_as(t)
 
     txid = np.zeros(n, dtype=np.int64)
+    txid_valid = np.zeros(n, dtype=np.uint8)
     ct = np.zeros(n, dtype=np.int64)
+    ct_valid = np.zeros(n, dtype=np.uint8)
     opx = np.zeros(n, dtype=np.int8)
     needs = np.zeros(n, dtype=np.uint8)
     tab_off = np.zeros(n + 1, dtype=np.int32)
@@ -372,8 +394,13 @@ def decode_batch_native(so_path: str, payload, lsn=None):
     new_counts = np.zeros(n, dtype=np.int32)
     old_counts = np.zeros(n, dtype=np.int32)
 
-    arena_cap = max(total * 2 + 64 * n + 1024, 1 << 16)
-    dat_cap = max(total // 4 + n + 16, 1 << 12)
+    if headers_only:
+        # datum streams never written: tiny arenas, table arena still real
+        arena_cap = max(total + 64 * n + 1024, 1 << 12)
+        dat_cap = 8
+    else:
+        arena_cap = max(total * 2 + 64 * n + 1024, 1 << 16)
+        dat_cap = max(total // 4 + n + 16, 1 << 12)
     for _attempt in range(4):
         tab_arena = np.empty(arena_cap, dtype=np.uint8)
         nk = np.empty(arena_cap, dtype=np.uint8)
@@ -390,8 +417,10 @@ def decode_batch_native(so_path: str, payload, lsn=None):
         n_old = ctypes.c_int32(0)
         rc = lib.decode_rowmsg_batch(
             ptr(data, u8), ptr(np.ascontiguousarray(offsets), i32),
-            ctypes.c_int32(n), ctypes.c_int32(0),
-            ptr(txid, i64), ptr(ct, i64), ptr(opx, i8), ptr(needs, u8),
+            ctypes.c_int32(n), ctypes.c_int32(1 if headers_only else 0),
+            ptr(txid, i64), ptr(txid_valid, u8),
+            ptr(ct, i64), ptr(ct_valid, u8),
+            ptr(opx, i8), ptr(needs, u8),
             ptr(tab_arena, u8), ctypes.c_int32(arena_cap), ptr(tab_off, i32),
             ptr(tab_valid, u8),
             ptr(new_counts, i32), ptr(old_counts, i32),
@@ -419,17 +448,18 @@ def decode_batch_native(so_path: str, payload, lsn=None):
         off = pa.py_buffer(np.ascontiguousarray(off_arr[:count + 1]))
         dat = pa.py_buffer(arena[:int(off_arr[count])].tobytes())
         if valid is None:
-            return pa.Array.from_buffers(pa.utf8(), count, [None, off, dat])
-        bitmap = pa.py_buffer(
-            np.packbits(valid[:count].astype(bool), bitorder="little")
-        )
-        return pa.Array.from_buffers(pa.utf8(), count, [bitmap, off, dat])
-
-    nn, no = int(n_new.value), int(n_old.value)
-    new_keys = _strings(nk, nk_off, nn)
-    new_vals = _strings(nv, nv_off, nn, nv_valid)
-    old_keys = _strings(ok, ok_off, no)
-    old_vals = _strings(ov, ov_off, no)
+            out_a = pa.Array.from_buffers(pa.utf8(), count, [None, off, dat])
+        else:
+            bitmap = pa.py_buffer(
+                np.packbits(valid[:count].astype(bool), bitorder="little")
+            )
+            out_a = pa.Array.from_buffers(pa.utf8(), count,
+                                          [bitmap, off, dat])
+        try:
+            out_a.validate(full=True)  # UTF-8 check (python codec parity)
+        except pa.lib.ArrowInvalid as e:
+            raise NativeUtf8Error(str(e)) from e
+        return out_a
 
     def _maps(counts, keys, vals):
         ends = np.cumsum(counts, dtype=np.int64)
@@ -444,15 +474,24 @@ def decode_batch_native(so_path: str, payload, lsn=None):
         offs.append(int(ends[-1]) if len(ends) else 0)
         return pa.MapArray.from_arrays(offs, keys, vals)
 
-    new_maps = _maps(new_counts, new_keys, new_vals)
-    old_maps = _maps(old_counts, old_keys, old_vals)
+    new_maps = old_maps = None
+    if not headers_only:
+        nn, no = int(n_new.value), int(n_old.value)
+        new_keys = _strings(nk, nk_off, nn)
+        new_vals = _strings(nv, nv_off, nn, nv_valid)
+        old_keys = _strings(ok, ok_off, no)
+        old_vals = _strings(ov, ov_off, no)
+        new_maps = _maps(new_counts, new_keys, new_vals)
+        old_maps = _maps(old_counts, old_keys, old_vals)
     table = _strings(tab_arena, tab_off, n, tab_valid)
     op_lookup = np.array(["I", "U", "D", "B", "C", "?"])
     ops = pa.array(op_lookup[np.clip(opx, 0, 5)], pa.string())
 
     out = {
-        "txid": pa.array(txid, pa.int64()),
-        "ct": pa.array(ct, pa.int64()),
+        # python codec parity: absent wire fields decode to NULL, not 0
+        "txid": pa.array(txid, pa.int64(),
+                         mask=~txid_valid.astype(bool)),
+        "ct": pa.array(ct, pa.int64(), mask=~ct_valid.astype(bool)),
         "op": ops,
         "table": table,
         "new": new_maps,
@@ -473,8 +512,31 @@ def make_native_full_batch(so_path: str):
         from .parse import _CHANGE_T, _MAP_T, _OUT_ARROW_SCHEMA, _TYPEINFO_T
         from .proto import decode_row_message
 
-        cols, slow_idx = decode_batch_native(so_path, payload)
+        try:
+            cols, slow_idx = decode_batch_native(so_path, payload)
+        except NativeUtf8Error:
+            # invalid UTF-8 somewhere in the batch: the python codec is the
+            # arbiter (it raises per message) — decode the whole batch there
+            cols, slow_idx = None, np.arange(len(payload))
         n = len(payload)
+        if cols is None:
+            lsn_np = lsn.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            events = [decode_row_message(p.as_py()) for p in payload]
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(lsn_np, pa.int64()),
+                    pa.array([e["txid"] for e in events], pa.int64()),
+                    pa.array([e["seq"] for e in events], pa.int32()),
+                    pa.array([e["ct"] for e in events], pa.int64()),
+                    pa.array([e["op"] for e in events], pa.string()),
+                    pa.array([e["table"] for e in events], pa.string()),
+                    pa.array([e["new"] for e in events], _MAP_T),
+                    pa.array([e["old"] for e in events], _MAP_T),
+                    pa.array([e["change"] for e in events], _CHANGE_T),
+                    pa.array([e["typeinfo"] for e in events], _TYPEINFO_T),
+                ],
+                schema=_OUT_ARROW_SCHEMA,
+            )
         seq = pa.array(np.zeros(n, dtype=np.int32), pa.int32())
         change = pa.nulls(n, _CHANGE_T)
         typeinfo = pa.nulls(n, _TYPEINFO_T)
@@ -522,22 +584,31 @@ def make_native_full_batch(so_path: str):
 
 def make_native_header_batch(so_path: str):
     """Factory for the ``header_batch`` seam: payload arrow array ->
-    (txid int64 np.ndarray, op string pa.Array)."""
+    (txid Int64 pa.Array — nullable, python-codec parity — and op string
+    pa.Array).  Uses the C decoder's headers_only mode: datum bodies are
+    length-skipped, never parsed."""
 
     def header_batch(payload):
-        import numpy as np
         import pyarrow as pa
 
         from .proto import decode_row_header
 
-        cols, slow_idx = decode_batch_native(so_path, payload)
-        txid = cols["txid"].to_numpy(zero_copy_only=False).copy()
-        ops = cols["op"].to_pylist()
-        for i in slow_idx:  # rare: R/typeinfo/malformed rows
-            t, o = decode_row_header(payload[int(i)].as_py())
-            txid[i] = -1 if t is None else t
-            ops[int(i)] = o
-        return txid, pa.array(ops, pa.string())
+        try:
+            cols, slow_idx = decode_batch_native(so_path, payload,
+                                                 headers_only=True)
+        except NativeUtf8Error:  # invalid utf8 in a TABLE name: go python
+            cols, slow_idx = None, range(len(payload))
+        if cols is None or len(slow_idx):
+            txid = (cols["txid"].to_pylist() if cols is not None
+                    else [None] * len(payload))
+            ops = (cols["op"].to_pylist() if cols is not None
+                   else ["?"] * len(payload))
+            for i in slow_idx:  # rare: R/typeinfo/malformed rows
+                t, o = decode_row_header(payload[int(i)].as_py())
+                txid[int(i)] = t
+                ops[int(i)] = o
+            return pa.array(txid, pa.int64()), pa.array(ops, pa.string())
+        return cols["txid"], cols["op"]
 
     return header_batch
 

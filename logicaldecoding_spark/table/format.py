@@ -166,6 +166,11 @@ class LakeTable:
         if cache is None:
             cache = self._seg_cache = {}
         if rel_path not in cache:
+            # bound the memo: segments are immutable but superseded ones
+            # accumulate over a long-lived handle's commits — evict oldest
+            # past ~2x the live-segment bound (4 per bucket group)
+            while len(cache) >= 8 * _MANIFEST_GROUPS:
+                cache.pop(next(iter(cache)))
             cache[rel_path] = json.loads(
                 self.io.read_text(os.path.join(self.path, rel_path))
             )
@@ -191,6 +196,8 @@ class LakeTable:
         cache = getattr(self, "_seg_cache", None)
         if cache is None:
             cache = self._seg_cache = {}
+        while len(cache) >= 8 * _MANIFEST_GROUPS:
+            cache.pop(next(iter(cache)))
         cache[rel] = entries
         return ref
 

@@ -450,3 +450,29 @@ if _HAVE_HYP:
             g_old = dict(g["old_tuple"]) if g["old_tuple"] is not None else None
             assert g_new == (dict(e["new"]) if e["new"] else None)
             assert g_old == (dict(e["old"]) if e["old"] else None)
+
+
+def test_native_decoder_rejects_invalid_utf8_like_python():
+    """A wire whose datum_string carries invalid UTF-8 must fail loudly on
+    BOTH decode paths (the native path validates the assembled arrays and
+    falls back to the Python codec, which raises), never silently admit
+    undecodable bytes."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from logicaldecoding_spark.sources.proto import _ld, _tag, _uvarint
+    from logicaldecoding_spark.sources.proto_native import (
+        build_native_decoder,
+        make_native_full_batch,
+    )
+
+    # hand-encode: RowMessage{txid=1, op=I, new_tuple=[{name:'k',
+    # datum_string=<invalid utf8>}]}
+    datum = _ld(1, b"k") + _ld(8, b"\xff\xfe\x80")
+    msg = (_tag(1, 0) + _uvarint(1) + _tag(4, 0) + _uvarint(0)
+           + _ld(3, b"t") + _ld(5, datum))
+    with _pytest.raises(UnicodeDecodeError):
+        decode_row_message(msg)
+    fb = make_native_full_batch(build_native_decoder())
+    with _pytest.raises(UnicodeDecodeError):
+        fb(pa.array([1], pa.int64()), pa.array([msg], pa.binary()))

@@ -282,8 +282,8 @@ def test_array_sig_banding_validates_k(spark, docs):
 
     sl = docs.filter(F.col("doc_id") < 50)
     sigs = minhash_signatures(sl, k=8, as_array=True)
-    # metadata path: caught before any job runs
-    with _pytest.raises(AssertionError, match="bands\\*rows"):
+    # metadata path: caught before any job runs (a real raise, -O-proof)
+    with _pytest.raises(ValueError, match="bands\\*rows"):
         lsh_candidate_pairs(sigs, bands=16, rows=4)
     # metadata-stripped (foreign) signature frame: the job itself raises
     naked = sigs.select(

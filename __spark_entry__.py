@@ -245,6 +245,96 @@ def _q_j1_keyed_merge(spark, sf):  # J1: keyed lookup-and-merge (MERGE shape)
 
 
 # ---------------------------------------------------------------------------
+# engine-native lake queries: the REAL LakeTable (table/format.py) built
+# deterministically from the events stream, then queried through time travel
+# / CDC-out changelog / stats-pruned scan — the driver's DuckDB oracle checks
+# the ENGINE, not just the operator shapes.
+# ---------------------------------------------------------------------------
+_LAKE_CACHE: dict[str, tuple] = {}
+
+
+def _events_lake(spark, sf):
+    """Two-batch LakeTable over the events stream: lsn = row_number ordered
+    by (ts, event_id); batch 1 = first half, batch 2 = the rest.  Returns
+    (table, cut_lsn, version_after_batch1)."""
+    if sf in _LAKE_CACHE:
+        return _LAKE_CACHE[sf]
+    import tempfile
+
+    from logicaldecoding_spark.operators.merge import merge_into
+    from logicaldecoding_spark.schema import TableSchema
+    from logicaldecoding_spark.table.format import LakeTable
+
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    cut = n // 2
+    seq = ev.select(
+        "user_id", "event_type", "value",
+        F.row_number().over(W.orderBy("ts", "event_id")).alias("lsn"),
+        F.col("event_id").alias("txid"),
+    )
+    schema = TableSchema.initial(
+        [("user_id", "long", False), ("event_type", "string", True),
+         ("value", "double", True)]
+    )
+    path = tempfile.mkdtemp(prefix="events_lake_")
+    t = LakeTable.create(os.path.join(path, "t"), schema, pk=("user_id",),
+                         n_buckets=8)
+    v_mid = None
+    for bid, (lo, hi) in enumerate(((0, cut), (cut, n))):
+        comp = (
+            seq.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "value", "txid"), F.col("lsn")
+                ).alias("_e"),
+                F.max("lsn").alias("lsn"),
+            )
+            .select(
+                "user_id", F.col("_e.event_type").alias("event_type"),
+                F.col("_e.value").alias("value"), F.lit("U").alias("op"),
+                "lsn", F.col("_e.txid").alias("txid"),
+            )
+        )
+        merge_into(spark, t, comp, applied_upto_lsn=hi, batch_id=bid)
+        if bid == 0:
+            v_mid = t.version
+    _LAKE_CACHE[sf] = (t, cut, v_mid)
+    return _LAKE_CACHE[sf]
+
+
+def _q_tt_time_travel(spark, sf):  # time travel: state as of the mid snapshot
+    t, _cut, v_mid = _events_lake(spark, sf)
+    return t.read_version(spark, v_mid).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+def _q_cdc_changelog(spark, sf):  # CDC-out: changelog between two snapshots
+    t, _cut, v_mid = _events_lake(spark, sf)
+    return t.read_changes(spark, v_mid).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+def _q_lake_pruned_scan(spark, sf):  # stats-pruned predicate scan of the lake
+    t, _cut, _v = _events_lake(spark, sf)
+    return t.read(
+        spark, where=[("user_id", ">=", 3), ("user_id", "<", 8)]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # relational/agg engine demos (Catalyst-native)
 # ---------------------------------------------------------------------------
 def _q_q1_pricing_summary(spark, sf):  # TPC-H Q1 shape
@@ -464,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_string_funcs": _q_f7_string_funcs,
         "q5_local_supply": _q_q5_local_supply,
         "j1_keyed_merge": _q_j1_keyed_merge,
+        "tt_time_travel": _q_tt_time_travel,
+        "cdc_changelog": _q_cdc_changelog,
+        "lake_pruned_scan": _q_lake_pruned_scan,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         "s7_full_scan": _q_s7_full_scan,
@@ -653,6 +746,56 @@ def oracle_sql() -> dict[str, str]:
                           (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
                         FROM events) WHERE rn = 1) e
             ON c.c_custkey = e.user_id
+        """,
+        "tt_time_travel": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            )
+            SELECT user_id,
+                   arg_max(event_type, lsn) AS last_event_type,
+                   round(arg_max(value, lsn), 4) AS last_value
+            FROM ordered
+            WHERE lsn <= (SELECT count(*) // 2 FROM events)
+            GROUP BY user_id
+        """,
+        "cdc_changelog": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            ),
+            cut AS (SELECT count(*) // 2 AS c FROM events),
+            s1 AS (
+                SELECT DISTINCT user_id FROM ordered
+                WHERE lsn <= (SELECT c FROM cut)
+            ),
+            s2 AS (
+                SELECT user_id,
+                       arg_max(event_type, lsn) AS last_event_type,
+                       round(arg_max(value, lsn), 4) AS last_value,
+                       max(lsn) AS maxl
+                FROM ordered GROUP BY user_id
+            )
+            SELECT s2.user_id, s2.last_event_type, s2.last_value,
+                   CASE WHEN s1.user_id IS NULL THEN 'insert'
+                        ELSE 'update' END AS change_type
+            FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+            WHERE s2.maxl > (SELECT c FROM cut)
+        """,
+        "lake_pruned_scan": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            )
+            SELECT user_id,
+                   arg_max(event_type, lsn) AS last_event_type,
+                   round(arg_max(value, lsn), 4) AS last_value
+            FROM ordered
+            WHERE user_id >= 3 AND user_id < 8
+            GROUP BY user_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

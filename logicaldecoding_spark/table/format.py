@@ -119,6 +119,113 @@ def split_manifest_for_read(
     return pure, reconcile
 
 
+# ---------------------------------------------------------------------------
+# manifest-level column-stats file skipping (the Iceberg lower_bounds /
+# upper_bounds scan pruning).  Manifest entries carry per-column
+# ``stats: {col: [min, max, null_count]}`` captured from the Parquet footers
+# at write time; simple conjunctive predicates prune files BEFORE the scan
+# plan is built — at 10^4+ files per table this avoids even opening footers
+# of files that provably hold no matching row.
+# ---------------------------------------------------------------------------
+# types whose footer min/max are captured into the manifest.  timestamp /
+# binary / point are skipped (their footer stats need codec-specific
+# normalization); absence of a stat only disables pruning, never correctness.
+STATABLE_TYPES = frozenset(
+    {"string", "int", "long", "float", "double", "boolean"}
+)
+# strings longer than this are not stored exactly: min is prefix-truncated
+# (a prefix is lexicographically <= the value, so it stays a valid LOWER
+# bound); max is dropped (a prefix is NOT a valid upper bound)
+STATS_MAX_STR = 64
+
+_PRUNE_OPS = frozenset({"=", "<", "<=", ">", ">=", "in"})
+
+
+def normalize_where(where) -> list[tuple[str, str, object]]:
+    """Validate/normalize a ``where`` predicate list: ``[(col, op, value)]``
+    with op in =, <, <=, >, >=, in (conjunction).  ``==`` is accepted as an
+    alias of ``=``; ``in`` takes a list/tuple/set of values."""
+    out = []
+    for p in where:
+        col, op, val = p
+        op = "=" if op == "==" else op
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported where op {op!r} (use {sorted(_PRUNE_OPS)})")
+        if op == "in":
+            val = list(val)
+        out.append((col, op, val))
+    return out
+
+
+def entry_refutes(entry: dict, col: str, op: str, val) -> bool:
+    """True iff the manifest entry's stats PROVE no row satisfies
+    ``col op val``.  Conservative: a missing stat / missing bound never
+    refutes.  Bounds may be one-sided (string truncation drops the upper
+    bound).  NULL rows never satisfy a comparison, so an all-NULL column
+    refutes every predicate on it."""
+    st = (entry.get("stats") or {}).get(col)
+    if st is None and col == "_last_lsn" and entry.get("max_lsn") is not None:
+        st = [None, entry["max_lsn"], 0]  # pre-stats manifests: top-level bound
+    if st is None:
+        return False
+    lo, hi, nulls = st
+    if lo is None and hi is None:
+        rows = entry.get("rows")
+        return bool(rows and nulls is not None and nulls >= rows)
+    try:
+        if op == "in":
+            return all(entry_refutes(entry, col, "=", v) for v in val)
+        if val is None:
+            return False  # NULL comparisons match nothing; let Spark fold it
+        if op == "=":
+            return (lo is not None and val < lo) or (hi is not None and val > hi)
+        if op == "<":
+            return lo is not None and lo >= val
+        if op == "<=":
+            return lo is not None and lo > val
+        if op == ">":
+            return hi is not None and hi <= val
+        if op == ">=":
+            return hi is not None and hi < val
+    except TypeError:
+        return False  # incomparable literal type: never prune
+    return False
+
+
+def prune_manifest_entries(
+    manifest: list[dict],
+    refuted,
+    spec_sizes: dict[int, int],
+) -> list[dict]:
+    """Drop manifest entries proven row-free for a predicate, MoR-safely.
+
+    Pure-base entries prune individually (each row in them is final state).
+    Entries under merge-on-read reconciliation may NOT prune alone — a base
+    row whose delta supersedes it could resurrect if only the delta were
+    skipped — so reconcile entries drop only when EVERY entry of their
+    overlap component is refuted (then no candidate winner matches, so the
+    post-reconcile filter output is provably empty).  Components are the
+    coarse congruence classes ``bucket % min(spec sizes)``: specs grow by
+    integer multiples (see _slots_overlap), so overlapping slots are always
+    congruent mod the smallest spec — the coarse class is a superset of the
+    true component, which only makes pruning LESS aggressive, never unsafe.
+    """
+    pure, reconcile = split_manifest_for_read(manifest, spec_sizes)
+    kept = [m for m in pure if not refuted(m)]
+    if reconcile:
+        sizes = set(spec_sizes.values())
+        gmin = min(sizes)
+        coarse_ok = all(s % gmin == 0 for s in sizes)
+        groups: dict[int, list[dict]] = {}
+        for m in reconcile:
+            key = (m["bucket"] % gmin) if coarse_ok else 0
+            groups.setdefault(key, []).append(m)
+        for grp in groups.values():
+            if not all(refuted(m) for m in grp):
+                kept.extend(grp)
+    return kept
+
+
 class LakeTable:
     """Handle on a table directory; all state lives on disk."""
 
@@ -403,6 +510,7 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         with_bucket_col: bool = False,
+        where: list[tuple] | None = None,
         _meta_override: dict | None = None,
     ) -> DataFrame:
         """Current-snapshot scan, schema-reconciled to the current schema.
@@ -419,10 +527,46 @@ class LakeTable:
         Key-exact consumers filter themselves (``lookup`` semi-joins its
         key list; MERGE's full-outer join passes extra rows through as
         keep-and-rewrite, which is precisely the lazy spec migration).
+
+        ``where=[(col, op, value), ...]`` (conjunction; op in =, <, <=, >,
+        >=, in) does BOTH manifest-level file skipping via the per-file
+        column stats (files/components proven row-free are never scanned —
+        see prune_manifest_entries for the MoR-safety rule) AND applies the
+        equivalent residual ``.filter``, so the result is exact, not a
+        superset.  A predicate column absent from an old schema version
+        prunes that version's files outright (projection NULL-fills it, and
+        NULL satisfies no comparison).
         """
         meta = _meta_override if _meta_override is not None else self.metadata()
         current = TableSchema.from_json(meta["schema"])
         manifest = meta["snapshot"]["manifest"]
+        preds: list[tuple[str, str, object]] = []
+        if where:
+            preds = normalize_where(where)
+            current_names = {f.name for f in current.fields} | {
+                "_last_lsn", "_last_txid"
+            }
+            lacks: dict[str, set[int]] = {}
+            for c, _, _ in preds:
+                if c not in current_names:
+                    raise ValueError(f"where column {c!r} not in table schema")
+                if not c.startswith("_"):
+                    lacks[c] = {
+                        s["schema_id"]
+                        for s in meta["schemas"]
+                        if all(f["name"] != c for f in s["fields"])
+                    }
+
+            def _refuted(m: dict) -> bool:
+                return any(
+                    m["schema_id"] in lacks.get(c, ())
+                    or entry_refutes(m, c, op, v)
+                    for (c, op, v) in preds
+                )
+
+            manifest = prune_manifest_entries(
+                manifest, _refuted, self.partition_specs(meta)
+            )
         if buckets is not None:
             # per-spec pruning: ``buckets`` are CURRENT-spec ids; a file
             # written under an older (smaller) spec may hold a wanted key in
@@ -525,6 +669,16 @@ class LakeTable:
             df = pure_df
         else:
             df = pure_df.unionByName(rec_df)
+        for c, op, v in preds:  # residual filter: result is exact
+            col = F.col(c)
+            df = df.filter(
+                col.isin(v) if op == "in"
+                else col == F.lit(v) if op == "="
+                else col < F.lit(v) if op == "<"
+                else col <= F.lit(v) if op == "<="
+                else col > F.lit(v) if op == ">"
+                else col >= F.lit(v)
+            )
         if with_bucket_col:
             df = df.withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
         return df
@@ -698,7 +852,8 @@ class LakeTable:
                     raise
 
     def write_data_files(
-        self, result: DataFrame, spark: SparkSession, content: str = "base"
+        self, result: DataFrame, spark: SparkSession, content: str = "base",
+        max_rows_per_file: int | None = None,
     ) -> list[dict]:
         """Write a MERGE result (must carry ``_bucket``) as new data files.
 
@@ -726,12 +881,17 @@ class LakeTable:
 
         batch_dir_rel = os.path.join("data", f"batch-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, batch_dir_rel)
-        (
+        writer = (
             result.write.mode("overwrite")
             .option("compression", "snappy")
             .partitionBy("_bucket")
-            .parquet(out_dir)
         )
+        if max_rows_per_file:
+            # with sorted input, successive file cuts get DISJOINT key
+            # ranges — what makes the manifest min/max stats prune to ~1
+            # file per point predicate (see compact(sort_by=...))
+            writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
+        writer.parquet(out_dir)
         schema_id = self.schema.schema_id
         if not self.io.exists(out_dir):
             return []  # zero rows written -> no directory/files at all
@@ -751,18 +911,89 @@ class LakeTable:
         if not files:
             return []
 
+        # columns whose footer min/max get captured into the manifest for
+        # stats-based file skipping (read(where=...) / lookup pruning)
+        statable = {
+            f.name for f in self.schema.fields if f.type in STATABLE_TYPES
+        } | {"_last_lsn"}
+        max_str = STATS_MAX_STR
+
         def _footer_stats(it):
+            import math
+
             import pyarrow.parquet as pq
 
+            def col_stats(md, name_to_idx):
+                out = {}
+                for cname in statable:
+                    i = name_to_idx.get(cname)
+                    if i is None:
+                        continue
+                    lo = hi = None
+                    nulls, nulls_known, bounds_ok = 0, True, True
+                    for g in range(md.num_row_groups):
+                        cc = md.row_group(g).column(i)
+                        st = cc.statistics
+                        if st is None:
+                            bounds_ok = nulls_known = False
+                            break
+                        if st.null_count is None:
+                            nulls_known = False
+                        else:
+                            nulls += st.null_count
+                        if st.has_min_max:
+                            mn, mx = st.min, st.max
+                            lo = mn if lo is None or mn < lo else lo
+                            hi = mx if hi is None or mx > hi else hi
+                        elif st.null_count != cc.num_values:
+                            # non-null values but bounds suppressed (e.g.
+                            # NaN): the whole bound is unusable
+                            bounds_ok = False
+                            break
+                    if not bounds_ok:
+                        continue
+                    # JSON-safe normalization; conservative drops only
+                    def clean(v, upper):
+                        if v is None:
+                            return None
+                        if hasattr(v, "item"):  # numpy scalar
+                            v = v.item()
+                        if isinstance(v, bytes):
+                            try:
+                                v = v.decode("utf-8")
+                            except UnicodeDecodeError:
+                                return None
+                        if isinstance(v, float) and not math.isfinite(v):
+                            return None
+                        if isinstance(v, str) and len(v) > max_str:
+                            # a prefix stays a valid LOWER bound only
+                            return None if upper else v[:max_str]
+                        if not isinstance(v, (str, int, float, bool)):
+                            return None
+                        return v
+
+                    lo, hi = clean(lo, False), clean(hi, True)
+                    if lo is None and hi is None and (
+                        not nulls_known or nulls < md.num_rows
+                    ):
+                        continue  # nothing provable about this column
+                    out[cname] = [lo, hi, nulls if nulls_known else None]
+                return out
+
             for pdf in it:
-                rows, max_lsns = [], []
+                rows, max_lsns, stats_json = [], [], []
                 for p in pdf["abs_path"]:
                     md = pq.ParquetFile(p).metadata
                     rows.append(md.num_rows)
-                    idx = next(
-                        i for i in range(md.num_columns)
-                        if md.row_group(0).column(i).path_in_schema == "_last_lsn"
-                    ) if md.num_row_groups else None
+                    name_to_idx = (
+                        {
+                            md.row_group(0).column(i).path_in_schema: i
+                            for i in range(md.num_columns)
+                        }
+                        if md.num_row_groups
+                        else {}
+                    )
+                    idx = name_to_idx.get("_last_lsn")
                     mx = None
                     for g in range(md.num_row_groups):
                         st = md.row_group(g).column(idx).statistics
@@ -777,10 +1008,12 @@ class LakeTable:
                         if st.max is not None:
                             mx = st.max if mx is None else max(mx, st.max)
                     max_lsns.append(mx)
+                    stats_json.append(json.dumps(col_stats(md, name_to_idx)))
                 yield pd.DataFrame(
                     {"rel_path": pdf["rel_path"], "bucket": pdf["bucket"],
                      "rows": rows,
-                     "max_lsn": pd.array(max_lsns, dtype="Int64")}
+                     "max_lsn": pd.array(max_lsns, dtype="Int64"),
+                     "stats_json": stats_json}
                 )
 
         # no repartition: createDataFrame already spreads the (tiny) path
@@ -791,7 +1024,8 @@ class LakeTable:
         )
         stats = paths_df.mapInPandas(
             _footer_stats,
-            "rel_path string, bucket int, rows long, max_lsn long",
+            "rel_path string, bucket int, rows long, max_lsn long,"
+            " stats_json string",
         ).collect()
         return [
             {
@@ -802,11 +1036,16 @@ class LakeTable:
                 "content": content,
                 "rows": int(s["rows"]),
                 "max_lsn": int(s["max_lsn"]) if s["max_lsn"] is not None else None,
+                "stats": json.loads(s["stats_json"]),
             }
             for s in stats
         ]
 
-    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
+    def compact(
+        self, spark: SparkSession, buckets: list[int] | None = None,
+        sort_by: tuple[str, ...] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> dict:
         """Fold merge-on-read delta/tombstone files into fresh base files
         (the Iceberg/Hudi compaction maintenance op).
 
@@ -814,7 +1053,14 @@ class LakeTable:
         rewrites it as base files under the CURRENT partition spec, and
         replaces every manifest slot those buckets occupy — deltas folded,
         old-spec files migrated.  The watermark is untouched: compaction
-        changes layout, never state."""
+        changes layout, never state.
+
+        ``sort_by`` sort-clusters rows within each bucket (Iceberg's
+        rewrite-with-sort-order): combined with ``max_rows_per_file``,
+        successive file cuts carry DISJOINT ranges of the sort key, so the
+        manifest min/max stats prune a point/range predicate to ~1 file per
+        bucket instead of the whole bucket — the layout a 100 TB table wants
+        for ``lookup``/``read(where=...)``."""
         target = (
             sorted(int(b) for b in buckets)
             if buckets is not None
@@ -825,7 +1071,11 @@ class LakeTable:
             .withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
             .repartition(max(len(target), 1), "_bucket")
         )
-        new_files = self.write_data_files(df, spark, content="base")
+        if sort_by:
+            df = df.sortWithinPartitions("_bucket", *sort_by)
+        new_files = self.write_data_files(
+            df, spark, content="base", max_rows_per_file=max_rows_per_file
+        )
         meta = self.metadata(refresh=False)
         self.commit_data(
             new_files,
@@ -926,7 +1176,19 @@ class LakeTable:
                 bucket_expr(self.n_buckets, tuple(pk)).alias("_b")
             ).distinct().collect()
         )
-        scan = self.read(spark, buckets=want)
+        # stats-based file skipping within the wanted buckets: on a
+        # sort-clustered table (compact(sort_by=pk)) this prunes to ~1 file
+        # per bucket.  Few keys -> exact in-list refutation; many keys -> a
+        # range probe (an in-list of 10k literals bloats the plan for no
+        # extra pruning power over the stats' min/max granularity).
+        k0 = sorted({k[0] for k in keys if k and k[0] is not None})
+        if not k0:
+            where = None
+        elif len(k0) <= 64:
+            where = [(pk[0], "in", k0)]
+        else:
+            where = [(pk[0], ">=", k0[0]), (pk[0], "<=", k0[-1])]
+        scan = self.read(spark, buckets=want, where=where)
         return scan.join(F.broadcast(key_df), on=pk, how="left_semi")
 
     def retrieve(self, spark: SparkSession, key: tuple):
@@ -1016,15 +1278,20 @@ class LakeTable:
             for f in to_schema.fields
         ]
         old = old.select(*proj, F.col("_last_lsn"), F.col("_last_txid"))
-        new = (
-            self.read(spark) if to_version is None
-            else self.read_version(spark, to_version)
+        # deletes need the to-side's FULL key set; upserts only need rows
+        # whose lineage advanced past the from-watermark — that side reads
+        # through the stats pruner, so files wholly below the watermark
+        # (max_lsn <= wm) are never scanned: an incremental changelog read
+        # costs O(files touched since from_version), not O(table)
+        new = self.read(spark, _meta_override=to_meta)
+        upsert_src = self.read(
+            spark, where=[("_last_lsn", ">", wm)], _meta_override=to_meta
         )
         pk = list(self.pk)
 
         old_keys = old.select(*pk, F.lit(True).alias("_existed"))
         upserts = (
-            new.filter(F.col("_last_lsn") > F.lit(wm))
+            upsert_src
             .join(old_keys, on=pk, how="left")
             .withColumn(
                 "_change_type",

@@ -134,7 +134,7 @@ def _deltas(cur: dict, prev: dict) -> dict:
             cur["events_per_sec"] - prev["events_per_sec"], 1
         )
     for k in ("sidecar_wall", "sidecar_events_per_sec",
-              "proto_wall", "proto_events_per_sec"):
+              "proto_wall", "proto_events_per_sec", "lookup_wall"):
         if isinstance(prev.get(k), (int, float)) and \
                 isinstance(cur.get(k), (int, float)):
             out[k] = round(cur[k] - prev[k], 3 if k.endswith("wall") else 1)
@@ -227,6 +227,30 @@ def main() -> None:
     pb_run = run_replay(spark, pb_log, pb_table, "proto")
     pb_eps = pb_stats["data_events"] / pb_run["wall_secs"]
 
+    # --- capability: stats-pruned point lookup on a sort-clustered layout
+    # (r5 file skipping): compact the replayed table sorted by pk with
+    # bounded file cuts, then measure a single-key retrieve and how many
+    # files the pruned scan actually opens vs the manifest total ---
+    from logicaldecoding_spark.table.format import LakeTable
+
+    lk_table = LakeTable.load(table_path)
+    n_live = lk_table.read(spark).count()
+    lk_table.compact(
+        spark, sort_by=lk_table.pk,
+        max_rows_per_file=max(1000, n_live // 256),
+    )
+    probe = (
+        lk_table.read(spark).select("repo", "path")
+        .orderBy("repo", "path").first()
+    )
+    t0 = time.time()
+    assert lk_table.retrieve(spark, (probe["repo"], probe["path"])) is not None
+    lookup_wall = time.time() - t0
+    lookup_files = len(set(
+        lk_table.lookup(spark, [(probe["repo"], probe["path"])]).inputFiles()
+    ))
+    table_files = len(lk_table.metadata()["snapshot"]["manifest"])
+
     # --- headline operator queries at the sf dir ---
     import __spark_entry__ as entry_mod
 
@@ -261,6 +285,9 @@ def main() -> None:
         "sidecar_events_per_sec": round(sc_eps, 1),
         "proto_wall": round(pb_run["wall_secs"], 3),
         "proto_events_per_sec": round(pb_eps, 1),
+        "lookup_wall": round(lookup_wall, 3),
+        "lookup_files_read": lookup_files,
+        "table_files": table_files,
         "log_rows": stats["rows"],
         "parse_mode": parse_mode,
         "cpus": cpus,

@@ -1261,14 +1261,56 @@ class LakeTable:
         snapshot is projected to it first (added columns NULL-filled, widened
         types upcast — the same read-time reconciliation rule the per-file
         scan applies), so deletes union cleanly with upserts.
+
+        Incremental cost: BOTH sides restrict to the buckets actually
+        touched between the two snapshots (computed from the manifest diff
+        — a key outside a touched bucket provably has identical state in
+        both versions, since all its covering files are byte-identical),
+        and the upsert side additionally skips files wholly below the
+        from-watermark via the column-stats pruner.  A changelog read after
+        one commit therefore costs O(changed-bucket data), not O(table).
         """
         meta_from = self._load_meta_version(from_version)
         wm = int(meta_from["snapshot"]["applied_upto_lsn"])
-        old = self.read(spark, _meta_override=meta_from)
         to_meta = (
             self.metadata() if to_version is None
             else self._load_meta_version(to_version)
         )
+        pk = list(self.pk)
+
+        # ---- manifest diff -> touched to-side buckets -------------------
+        restrict: list[int] | None = None
+        to_v = int(to_meta["version"])
+        if from_version <= to_v:
+            from_man = meta_from["snapshot"]["manifest"]
+            to_man = to_meta["snapshot"]["manifest"]
+            from_paths = {m["path"] for m in from_man}
+            to_paths = {m["path"] for m in to_man}
+            changed_slots = {
+                (m.get("spec_id", 0), m["bucket"])
+                for m in to_man if m["path"] not in from_paths
+            } | {
+                (m.get("spec_id", 0), m["bucket"])
+                for m in from_man if m["path"] not in to_paths
+            }
+            specs = self.partition_specs(to_meta)
+            specs.update(self.partition_specs(meta_from))
+            n_to = int(to_meta["partition_spec"]["n"])
+            touched: set[int] = set()
+            known = all(s in specs for s, _ in changed_slots)
+            if known:
+                for sid, b in changed_slots:
+                    n_s = specs[sid]
+                    if n_s >= n_to:
+                        touched.add(b % n_to)
+                    else:
+                        touched.update(range(b % n_s, n_to, n_s))
+                # restriction only pays while it actually prunes; a diff
+                # touching most buckets reads ~the whole table anyway
+                if len(touched) <= max(64, n_to // 4):
+                    restrict = sorted(touched)
+
+        old = self.read(spark, buckets=restrict, _meta_override=meta_from)
         to_schema = TableSchema.from_json(to_meta["schema"])
         to_struct = to_schema.to_spark(with_lineage=True)
         old_cols = set(old.columns)
@@ -1278,16 +1320,21 @@ class LakeTable:
             for f in to_schema.fields
         ]
         old = old.select(*proj, F.col("_last_lsn"), F.col("_last_txid"))
-        # deletes need the to-side's FULL key set; upserts only need rows
-        # whose lineage advanced past the from-watermark — that side reads
-        # through the stats pruner, so files wholly below the watermark
-        # (max_lsn <= wm) are never scanned: an incremental changelog read
-        # costs O(files touched since from_version), not O(table)
-        new = self.read(spark, _meta_override=to_meta)
+        # deletes need the (restricted) to-side key set; upserts only need
+        # rows whose lineage advanced past the from-watermark
+        new = self.read(spark, buckets=restrict, _meta_override=to_meta)
         upsert_src = self.read(
-            spark, where=[("_last_lsn", ">", wm)], _meta_override=to_meta
+            spark, buckets=restrict, where=[("_last_lsn", ">", wm)],
+            _meta_override=to_meta,
         )
-        pk = list(self.pk)
+        if restrict is not None:
+            # bucket-restricted reads return SUPERSETS (old-spec files come
+            # back whole); clamp every side to the exact touched-key
+            # universe so insert/update/delete classification is symmetric
+            in_touched = bucket_expr(n_to, tuple(pk)).isin(restrict)
+            old = old.filter(in_touched)
+            new = new.filter(in_touched)
+            upsert_src = upsert_src.filter(in_touched)
 
         old_keys = old.select(*pk, F.lit(True).alias("_existed"))
         upserts = (
@@ -1305,3 +1352,54 @@ class LakeTable:
             .withColumn("_change_type", F.lit("delete"))
         )
         return upserts.unionByName(deletes)
+
+    def follow_changes(
+        self,
+        spark: SparkSession,
+        from_version: int | None = None,
+        poll_secs: float = 1.0,
+        stop_at_version: int | None = None,
+        max_polls: int | None = None,
+    ):
+        """Tail the snapshot log as a CDC-out stream: a generator yielding
+        ``(version, changelog DataFrame)`` for every committed snapshot
+        after the cursor — the engine's own capture re-emitted downstream
+        (the Delta CDF streaming-read analog, one incremental
+        ``read_changes`` per snapshot pair, so each yield costs
+        O(changed-bucket data)).
+
+        * ``from_version`` — cursor start (default: the current version, i.e.
+          only NEW commits are followed).  The consumer owns cursor
+          durability: persist the last version it fully processed and pass
+          it back on restart for exactly-once downstream delivery.
+        * metadata-only snapshots (schema/spec evolution, checkpoints)
+          yield an empty changelog under the evolved schema — consumers see
+          schema changes as a schema change, never as phantom row churn.
+        * ``stop_at_version`` / ``max_polls`` bound the tail for tests and
+          drain-then-exit callers; an unbounded live tail polls the version
+          hint (one tiny metadata read) every ``poll_secs``.
+        * versions expired by ``expire_snapshots`` while tailing raise on
+          access — a consumer that lags past the retention window must
+          re-bootstrap from a full scan, the same contract as a dropped
+          replication slot.
+        """
+        cursor = self.version if from_version is None else int(from_version)
+        polls = 0
+        while True:
+            self.metadata(refresh=True)
+            latest = self.version
+            while cursor < latest:
+                retained = [v for v in self._all_versions() if v > cursor]
+                if not retained:
+                    break
+                nxt = min(retained)
+                yield nxt, self.read_changes(spark, cursor, nxt)
+                cursor = nxt
+                if stop_at_version is not None and cursor >= stop_at_version:
+                    return
+            if stop_at_version is not None and cursor >= stop_at_version:
+                return
+            polls += 1
+            if max_polls is not None and polls >= max_polls:
+                return
+            time.sleep(poll_secs)

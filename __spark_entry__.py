@@ -334,6 +334,43 @@ def _q_lake_pruned_scan(spark, sf):  # stats-pruned predicate scan of the lake
     )
 
 
+_MV_CACHE: dict[str, object] = {}
+
+
+def _q_mv_incremental_agg(spark, sf):
+    """Incremental materialized aggregate (operators/mv.py): per-event-type
+    rollup of the lake's live state, maintained from the CDC changelog in
+    TWO refreshes (create -> v_mid -> head) so the second fold runs purely
+    on preimage/postimage deltas — group migration (a user's last event_type
+    changing between batches) and min/max retraction rescans included.  The
+    oracle recomputes the same rollup from scratch over the final state."""
+    t, _cut, v_mid = _events_lake(spark, sf)
+    if sf not in _MV_CACHE:
+        import tempfile
+
+        from logicaldecoding_spark.operators.mv import MaterializedAggregate
+
+        mv = MaterializedAggregate.create(
+            os.path.join(tempfile.mkdtemp(prefix="events_mv_"), "mv"), t,
+            ["event_type"],
+            {"n_users": ("count", "*"), "sum_value": ("sum", "value"),
+             "avg_value": ("avg", "value"), "min_value": ("min", "value"),
+             "max_value": ("max", "value")},
+            n_buckets=8,
+        )
+        mv.refresh(spark, to_version=v_mid)  # fold batch 1
+        mv.refresh(spark)                    # incremental fold of batch 2
+        _MV_CACHE[sf] = mv
+    mv = _MV_CACHE[sf]
+    return mv.read(spark).select(
+        "event_type", "n_users",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational/agg engine demos (Catalyst-native)
 # ---------------------------------------------------------------------------
@@ -557,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tt_time_travel": _q_tt_time_travel,
         "cdc_changelog": _q_cdc_changelog,
         "lake_pruned_scan": _q_lake_pruned_scan,
+        "mv_incremental_agg": _q_mv_incremental_agg,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         "s7_full_scan": _q_s7_full_scan,
@@ -796,6 +834,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ordered
             WHERE user_id >= 3 AND user_id < 8
             GROUP BY user_id
+        """,
+        "mv_incremental_agg": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            ),
+            final AS (
+                SELECT user_id,
+                       arg_max(event_type, lsn) AS event_type,
+                       arg_max(value, lsn) AS value
+                FROM ordered GROUP BY user_id
+            )
+            SELECT event_type, count(*) AS n_users,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM final GROUP BY event_type
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

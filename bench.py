@@ -260,6 +260,7 @@ def main() -> None:
         "a2_last_writer_wins", "q1_pricing_summary", "s5_props_parse",
         "dedup_exact", "text_quality", "knn_bruteforce", "dedup_minhash",
         "knn_lsh", "text_lang_id", "q5_local_supply", "t10_sessionize",
+        "mv_incremental_agg",
     ):
         t0 = time.time()
         q[name](spark, sf_dir).collect()

@@ -1245,6 +1245,7 @@ class LakeTable:
     def read_changes(
         self, spark: SparkSession, from_version: int,
         to_version: int | None = None,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """CDC-out: the row-level changelog between two snapshots (the Delta
         CDF / Iceberg changelog-scan analog), derived from the lineage
@@ -1254,6 +1255,15 @@ class LakeTable:
         * update — key present in both, ``_last_lsn`` advanced
         * delete — key present at from_version, absent at to_version
           (emitted with the OLD row image)
+
+        ``include_preimages=True`` is the Delta CDF row set: each update is
+        emitted TWICE — ``update_preimage`` (the from-side row image, with
+        its from-side lineage) and ``update_postimage`` (the to-side image).
+        Preimages are what make the changelog invertible, which downstream
+        incremental view maintenance (operators/mv.py) needs to retract a
+        row's old contribution from an aggregate.  Cost: one extra semi-join
+        of the (already bucket-restricted) from-side against the upsert
+        keys — still O(changed-bucket data).
 
         Both sides prune to manifests of their snapshots; the join is keyed
         on the primary key.  The changelog is emitted under the TO-side
@@ -1337,12 +1347,13 @@ class LakeTable:
             upsert_src = upsert_src.filter(in_touched)
 
         old_keys = old.select(*pk, F.lit(True).alias("_existed"))
+        upd_label = "update_postimage" if include_preimages else "update"
         upserts = (
             upsert_src
             .join(old_keys, on=pk, how="left")
             .withColumn(
                 "_change_type",
-                F.when(F.col("_existed").isNotNull(), F.lit("update"))
+                F.when(F.col("_existed").isNotNull(), F.lit(upd_label))
                 .otherwise(F.lit("insert")),
             )
             .drop("_existed")
@@ -1351,7 +1362,14 @@ class LakeTable:
             old.join(new.select(*pk), on=pk, how="left_anti")
             .withColumn("_change_type", F.lit("delete"))
         )
-        return upserts.unionByName(deletes)
+        out = upserts.unionByName(deletes)
+        if include_preimages:
+            preimages = (
+                old.join(upsert_src.select(*pk), on=pk, how="left_semi")
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            out = out.unionByName(preimages)
+        return out
 
     def follow_changes(
         self,
@@ -1360,6 +1378,7 @@ class LakeTable:
         poll_secs: float = 1.0,
         stop_at_version: int | None = None,
         max_polls: int | None = None,
+        include_preimages: bool = False,
     ):
         """Tail the snapshot log as a CDC-out stream: a generator yielding
         ``(version, changelog DataFrame)`` for every committed snapshot
@@ -1393,7 +1412,9 @@ class LakeTable:
                 if not retained:
                     break
                 nxt = min(retained)
-                yield nxt, self.read_changes(spark, cursor, nxt)
+                yield nxt, self.read_changes(
+                    spark, cursor, nxt, include_preimages=include_preimages
+                )
                 cursor = nxt
                 if stop_at_version is not None and cursor >= stop_at_version:
                     return

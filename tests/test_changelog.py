@@ -207,3 +207,35 @@ def test_follow_changes_metadata_only_snapshot_is_empty(spark, tmp_path):
     assert df.count() == 0
     # the empty changelog already carries the evolved schema
     assert "stars" in df.columns
+
+
+def test_read_changes_preimages(spark, tmp_path):
+    """include_preimages=True is the Delta-CDF row set: every update appears
+    as a pre- AND post-image; the preimage equals the from-side row."""
+    t = _build_history(spark, tmp_path)
+    versions = [e["version"] for e in t.history()]
+    v1, v2 = versions[1], versions[-1]  # post-base-load -> head: has updates
+    s_old, s_new = _state(spark, t, v1), _state(spark, t, v2)
+    rows = t.read_changes(spark, v1, v2, include_preimages=True).collect()
+    by_type: dict[str, dict] = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], {})[
+            (r["repo"], r["path"])] = r.asDict()
+    want = _brute_diff(s_old, s_new)
+    upd_keys = {k for k, v in want.items() if v == "update"}
+    assert set(by_type.get("update_postimage", {})) == upd_keys
+    assert set(by_type.get("update_preimage", {})) == upd_keys
+    assert "update" not in by_type  # renamed wholesale, not duplicated
+    assert set(by_type.get("insert", {})) == {
+        k for k, v in want.items() if v == "insert"}
+    assert set(by_type.get("delete", {})) == {
+        k for k, v in want.items() if v == "delete"}
+    for k in upd_keys:
+        pre, post = by_type["update_preimage"][k], by_type["update_postimage"][k]
+        assert pre["_last_lsn"] == s_old[k]["_last_lsn"], k
+        assert post["_last_lsn"] == s_new[k]["_last_lsn"], k
+        assert pre["commit"] == s_old[k]["commit"], k
+    # default mode is byte-identical to before: no preimage rows
+    plain = {r["_change_type"] for r in
+             t.read_changes(spark, v1, v2).collect()}
+    assert "update_preimage" not in plain and "update" in plain

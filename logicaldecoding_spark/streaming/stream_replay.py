@@ -56,6 +56,7 @@ from ..plans.batches import plan_batches, plan_batches_multi
 from ..plans.replay import apply_plans, apply_plans_multi, ensure_table
 from ..schema import OP_COMMIT, REPOS_PK, TableSchema
 from ..table.fileio import LocalFileIO
+from ..table.format import LakeTable
 
 # minimal on-disk schema the streaming source needs (lsn + payload; other
 # captured-log columns are ignored by the engine).  The payload column is
@@ -199,6 +200,14 @@ def stream_replay(
     # task serialize ALL open-transaction events per micro-batch, a serial
     # section whenever a single large in-flight txn straddles files.
     sidecar_write_partitions: int = 8,
+    # called after a micro-batch that applied data, with
+    # ({table_name_or_path: new_version}, epoch) — the hook point for
+    # downstream incremental maintenance (e.g. MaterializedAggregate.refresh
+    # keeps a rollup live off the tail).  Runs on the DRIVER inside
+    # foreachBatch: it must be idempotent under micro-batch redelivery
+    # (version-cursor-driven consumers like the MV are — an already-folded
+    # version is a no-op refresh).
+    on_commit=None,
 ):
     """Start the streaming replay; returns the StreamingQuery.
 
@@ -376,6 +385,12 @@ def stream_replay(
                     for p_ in tables.values():
                         _compact_hot_delta_slots(spark, p_,
                                                  auto_compact_deltas)
+                if on_commit is not None and any(plans_by_table.values()):
+                    on_commit(
+                        {n_: LakeTable.load(p_).version
+                         for n_, p_ in tables.items()},
+                        epoch,
+                    )
                 # prune sidecars older than the retention window
                 for root in (pending_root, aborted_root):
                     if io.exists(root):
@@ -437,6 +452,10 @@ def stream_replay(
             if auto_compact_deltas is not None:
                 _compact_hot_delta_slots(spark, table_path,
                                          auto_compact_deltas)
+            if on_commit is not None and plans:
+                on_commit(
+                    {table_path: LakeTable.load(table_path).version}, epoch
+                )
             # prune sidecars older than the retention window
             for root in (pending_root, aborted_root):
                 if io.exists(root):

@@ -229,9 +229,11 @@ def prune_manifest_entries(
 class LakeTable:
     """Handle on a table directory; all state lives on disk."""
 
-    def __init__(self, path: str, io: FileIO | None = None):
+    def __init__(self, path: str, io: FileIO | None = None,
+                 ref: str = "main"):
         self.path = path
         self.io: FileIO = io or LocalFileIO()
+        self.ref = ref
         self._meta: dict | None = None
 
     # ------------------------------------------------------------------ paths
@@ -244,8 +246,26 @@ class LakeTable:
         return os.path.join(self.path, "data")
 
     @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self._meta_dir, "refs")
+
+    def _ref_path(self, name: str, kind: str) -> str:
+        return os.path.join(self._refs_dir, f"{kind}-{name}.text")
+
+    def _resolve_ref_kind(self, name: str) -> str:
+        """'branch' | 'tag' for a named ref; raises if the ref is unknown."""
+        for kind in ("branch", "tag"):
+            if self.io.exists(self._ref_path(name, kind)):
+                return kind
+        raise FileNotFoundError(f"table ref {name!r} does not exist")
+
+    @property
     def _hint_path(self) -> str:
-        return os.path.join(self._meta_dir, "version-hint.text")
+        # ``main`` keeps the historical hint file (every pre-refs table
+        # stays readable); a named ref resolves through metadata/refs/.
+        if self.ref == "main":
+            return os.path.join(self._meta_dir, "version-hint.text")
+        return self._ref_path(self.ref, self._resolve_ref_kind(self.ref))
 
     def _meta_path(self, version: int) -> str:
         return os.path.join(self._meta_dir, f"v{version}.metadata.json")
@@ -369,12 +389,30 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(path: str, io: FileIO | None = None) -> "LakeTable":
-        t = LakeTable(path, io=io)
+    def load(path: str, io: FileIO | None = None,
+             ref: str = "main") -> "LakeTable":
+        t = LakeTable(path, io=io, ref=ref)
         t.metadata()  # force read
         return t
 
+    def _next_version(self, base_meta: dict) -> int:
+        """Allocate the next snapshot version number.
+
+        Versions are a GLOBAL sequence shared by every ref (the exclusive
+        create of ``v<N>.metadata.json`` is what arbitrates concurrent
+        committers), so a branch whose head is behind the global maximum
+        must skip the numbers other refs already claimed — ancestry is the
+        ``parent_id`` chain, not version contiguity.  Cost: one metadata-dir
+        listing per commit, bounded by the snapshot-expiry policy."""
+        vs = self._all_versions()
+        return max(vs[-1] if vs else 0, int(base_meta["version"])) + 1
+
     def _write_meta(self, meta: dict) -> None:
+        if self.ref != "main" and self._resolve_ref_kind(self.ref) == "tag":
+            raise ValueError(
+                f"ref {self.ref!r} is a tag: tags are immutable (create a "
+                "branch to write)"
+            )
         v = meta["version"]
         # segmented manifests never hit the metadata json: strip the
         # in-memory materialized list before serializing (the segment files
@@ -466,11 +504,27 @@ class LakeTable:
         return sorted(out)
 
     def history(self) -> list[dict]:
-        """Snapshot lineage, oldest retained first: one entry per committed
-        version (the time-travel index; any retained vN.metadata.json remains
-        readable; expired versions drop out)."""
+        """Snapshot lineage of THIS ref, oldest retained first: one entry
+        per committed version (the time-travel index; any retained
+        vN.metadata.json remains readable; expired versions drop out).
+        Snapshots staged on other branches are not part of this ref's
+        lineage and are excluded (they share the global version sequence
+        but not the parent chain)."""
+        chain: set[int] = set()
+        v = self.version
+        while True:
+            chain.add(v)
+            try:
+                parent = self._load_meta_version(v)["snapshot"].get("parent_id")
+            except FileNotFoundError:
+                break
+            if parent is None or int(parent) >= v:
+                break
+            v = int(parent)
         out = []
         for v in self._all_versions():
+            if v not in chain:
+                continue
             m = json.loads(self.io.read_text(self._meta_path(v)))
             s = m["snapshot"]
             refs = s.get("manifest_list")
@@ -498,6 +552,139 @@ class LakeTable:
     def read_version(self, spark: SparkSession, version: int) -> DataFrame:
         """Time travel: scan the table as of an older snapshot."""
         return self.read(spark, _meta_override=self._load_meta_version(version))
+
+    # ------------------------------------------------------------------ refs
+    # Named refs (the Iceberg branch/tag model): a BRANCH is a movable
+    # pointer with its own line of commits (write-audit-publish staging); a
+    # TAG is an immutable pointer (named time travel).  All refs share the
+    # table's single global version sequence — the exclusive create of
+    # ``v<N>.metadata.json`` arbitrates committers across refs, and lineage
+    # is the snapshot ``parent_id`` chain (NOT version contiguity).  ``main``
+    # is the implicit default ref backed by the historical version-hint.text.
+
+    def refs(self) -> dict[str, dict]:
+        """``{name: {"kind": "branch"|"tag", "version": N}}`` (main excluded)."""
+        out: dict[str, dict] = {}
+        if not self.io.exists(self._refs_dir):
+            return out
+        for entry in self.io.listdir(self._refs_dir):
+            if not entry.endswith(".text"):
+                continue
+            kind, _, name = entry[: -len(".text")].partition("-")
+            if kind in ("branch", "tag") and name:
+                out[name] = {
+                    "kind": kind,
+                    "version": int(
+                        self.io.read_text(
+                            os.path.join(self._refs_dir, entry)
+                        ).strip()
+                    ),
+                }
+        return out
+
+    def _create_ref(self, name: str, kind: str, at_version: int | None) -> int:
+        if (not name or name == "main" or "/" in name or os.sep in name
+                or name != name.strip()):
+            raise ValueError(f"invalid ref name {name!r}")
+        v = self.version if at_version is None else int(at_version)
+        self.io.read_text(self._meta_path(v))  # must exist (raises otherwise)
+        self.io.makedirs(self._refs_dir)
+        # exclusive create: two racing create_branch("audit") calls cannot
+        # both win and silently point at different snapshots
+        self.io.write_text_exclusive(self._ref_path(name, kind), str(v))
+        return v
+
+    def create_branch(self, name: str, at_version: int | None = None,
+                      ) -> "LakeTable":
+        """Create branch ``name`` at ``at_version`` (default: this handle's
+        current snapshot) and return a writable handle on it.  Commits made
+        through the branch handle are invisible to every other ref until
+        :meth:`publish` — the write-audit-publish staging pattern."""
+        self._create_ref(name, "branch", at_version)
+        return LakeTable.load(self.path, io=self.io, ref=name)
+
+    def create_tag(self, name: str, at_version: int | None = None) -> int:
+        """Create immutable tag ``name`` (named time travel; also pins its
+        snapshot against :meth:`expire_snapshots`)."""
+        return self._create_ref(name, "tag", at_version)
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a branch or tag pointer.  Snapshots staged on a dropped
+        branch become expirable; their data files are reaped by
+        ``expire_snapshots`` + ``remove_orphan_files``."""
+        self.io.remove_file(self._ref_path(name, self._resolve_ref_kind(name)))
+
+    def is_ancestor(self, anc_version: int, desc_version: int) -> bool:
+        """True iff ``anc_version`` is on ``desc_version``'s parent chain
+        (or equal).  Walks snapshot ``parent_id`` links; an expired
+        intermediate snapshot ends the walk (conservatively False)."""
+        v = int(desc_version)
+        anc = int(anc_version)
+        while v >= anc:
+            if v == anc:
+                return True
+            try:
+                meta = self._load_meta_version(v)
+            except FileNotFoundError:
+                return False
+            parent = meta["snapshot"].get("parent_id")
+            if parent is None or int(parent) >= v:
+                return False
+            v = int(parent)
+        return False
+
+    def publish(self, branch: str, retries: int = 3) -> int:
+        """Fast-forward-publish a staged branch onto THIS handle's ref.
+
+        Requires this ref's current snapshot to be an ancestor of the branch
+        head (nothing committed here since the branch was cut — otherwise the
+        publish would silently drop those commits; that raises
+        ``CommitConflictError`` and the caller must re-stage or merge by
+        hand).  Publication is itself a NEW snapshot whose content (schema,
+        manifest segments, offsets, watermark) is byte-identical to the
+        branch head — reusing the exclusive-create CAS, so a concurrent
+        commit on this ref cannot be lost to the publish race.  Returns the
+        published version."""
+        from .fileio import CommitConflictError
+
+        if self._resolve_ref_kind(branch) != "branch":
+            raise ValueError(f"ref {branch!r} is not a branch")
+        head_v = int(self.io.read_text(self._ref_path(branch, "branch")).strip())
+        head = self._load_meta_version(head_v)
+        for attempt in range(retries + 1):
+            base = self.metadata()
+            if self.is_ancestor(head_v, base["version"]):
+                # branch head already on this ref's lineage (incl. equal):
+                # idempotent re-publish is a no-op
+                return int(base["version"])
+            if not self.is_ancestor(base["version"], head_v):
+                raise CommitConflictError(
+                    f"ref {self.ref!r} at v{base['version']} is not an "
+                    f"ancestor of branch {branch!r} head v{head_v}: publish "
+                    "would drop commits; re-stage the branch"
+                )
+            new_meta = dict(head)
+            new_meta["version"] = self._next_version(base)
+            snap = dict(head["snapshot"])
+            snap["snapshot_id"] = new_meta["version"]
+            # TRUE fast-forward: the publish snapshot's parent is the BRANCH
+            # head, so the staged commits join this ref's lineage (history /
+            # is_ancestor see them) — the precondition above guarantees the
+            # chain still passes through this ref's previous head
+            snap["parent_id"] = head["snapshot"]["snapshot_id"]
+            snap["timestamp_ms"] = int(time.time() * 1000)
+            snap["metrics"] = {
+                "kind": "publish", "from_branch": branch,
+                "source_version": head_v,
+            }
+            new_meta["snapshot"] = snap
+            try:
+                self._write_meta(new_meta)
+                return new_meta["version"]
+            except CommitConflictError:
+                if attempt >= retries:
+                    raise
+        raise AssertionError("unreachable")
 
     def schema_by_id(self, schema_id: int) -> TableSchema:
         for s in self.metadata(refresh=False)["schemas"]:
@@ -698,7 +885,7 @@ class LakeTable:
         if schema is current:
             return  # idempotent re-apply (crash-resume): no new snapshot
         new_meta = dict(meta)
-        new_meta["version"] = meta["version"] + 1
+        new_meta["version"] = self._next_version(meta)
         new_meta["schema"] = schema.to_json()
         new_meta["schemas"] = [*meta["schemas"], schema.to_json()]
         snap = dict(meta["snapshot"])
@@ -826,7 +1013,7 @@ class LakeTable:
                         int(offsets.get(str(nf["bucket"]), 0)), int(nf["max_lsn"])
                     )
             new_meta = dict(meta)
-            new_meta["version"] = meta["version"] + 1
+            new_meta["version"] = self._next_version(meta)
             snap = {
                 "snapshot_id": new_meta["version"],
                 "parent_id": meta["snapshot"]["snapshot_id"],
@@ -1126,7 +1313,7 @@ class LakeTable:
             "spec_id": new_sid,
         }
         new_meta = dict(meta)
-        new_meta["version"] = meta["version"] + 1
+        new_meta["version"] = self._next_version(meta)
         new_meta["partition_spec"] = spec
         new_meta["partition_specs"] = [
             *(meta.get("partition_specs") or [meta["partition_spec"]]), spec
@@ -1207,6 +1394,9 @@ class LakeTable:
         the Iceberg expire_snapshots maintenance op."""
         cur = self.version
         keep = {v for v in self._all_versions() if v > cur - keep_last} | {cur}
+        # named refs pin their snapshots: a branch head or tag must stay
+        # readable (and orphan-scan-reachable) however old its version number
+        keep |= {r["version"] for r in self.refs().values()}
         expired = [v for v in self._all_versions() if v not in keep]
         for v in expired:
             self.io.remove_file(self._meta_path(v))

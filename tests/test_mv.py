@@ -227,3 +227,46 @@ def test_mv_sum_only_never_rescans(spark, tmp_path):
     for k in want:
         assert got[k]["n"] == want[k]["n"]
         assert got[k]["sum_stars"] == want[k]["sum_stars"]
+
+
+def test_streaming_live_mv_maintained_from_tail(spark, small_log, tmp_path):
+    """The stream_replay on_commit hook keeps an MV live off the CDC tail:
+    each applied micro-batch triggers an incremental refresh, and after the
+    tail drains the MV equals a from-scratch group-by over the final table."""
+    from logicaldecoding_spark.generator import split_log_dir
+    from logicaldecoding_spark.streaming.stream_replay import stream_replay
+
+    log_path, _ = small_log
+    log_dir = str(tmp_path / "log_dir")
+    split_log_dir(log_path, log_dir, n_files=6)
+    table_path = str(tmp_path / "stream_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    refreshes: list[dict] = []
+    holder: dict = {}
+
+    def on_commit(versions, epoch):
+        v = versions[table_path]
+        if "mv" not in holder:
+            holder["mv"] = MaterializedAggregate.create(
+                str(tmp_path / "mv"), LakeTable.load(table_path),
+                ["lang"], {"n": ("count", "*")}, n_buckets=4)
+        refreshes.append(holder["mv"].refresh(spark, to_version=v))
+
+    q = stream_replay(
+        spark, log_dir, table_path, ckpt, n_buckets=8, parse_mode="native",
+        max_files_per_trigger=2, on_commit=on_commit,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # maintained LIVE: multiple incremental folds, not one final recompute
+    assert sum(1 for r in refreshes if r["refreshed"]) >= 2
+    t = LakeTable.load(table_path)
+    want = {r["lang"]: r["n"] for r in t.read(spark).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in holder["mv"].read(spark)
+           .select("lang", "n").collect()}
+    assert got == want

@@ -371,6 +371,121 @@ def _q_mv_incremental_agg(spark, sf):
     )
 
 
+_WAP_CACHE: dict[str, object] = {}
+
+
+def _q_lake_branch_publish(spark, sf):
+    """Write-audit-publish (table/format.py refs): batch 1 commits to main,
+    batch 2 is STAGED on a branch (invisible to main readers), audited, and
+    fast-forward-published.  The returned frame is main's post-publish
+    state, which the oracle recomputes as a plain last-writer-wins over the
+    whole events stream — proving the staged commits landed exactly and the
+    publish snapshot carried the branch's watermark/content byte-for-byte."""
+    if sf not in _WAP_CACHE:
+        import tempfile
+
+        from logicaldecoding_spark.operators.merge import merge_into
+        from logicaldecoding_spark.schema import TableSchema
+        from logicaldecoding_spark.table.format import LakeTable
+
+        ev = _t(spark, sf, "events")
+        n = ev.count()
+        cut = n // 2
+        seq = ev.select(
+            "user_id", "event_type", "value",
+            F.row_number().over(W.orderBy("ts", "event_id")).alias("lsn"),
+            F.col("event_id").alias("txid"),
+        )
+        schema = TableSchema.initial(
+            [("user_id", "long", False), ("event_type", "string", True),
+             ("value", "double", True)]
+        )
+        path = tempfile.mkdtemp(prefix="wap_lake_")
+        t = LakeTable.create(os.path.join(path, "t"), schema,
+                             pk=("user_id",), n_buckets=8)
+
+        def comp(lo, hi):
+            return (
+                seq.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+                .groupBy("user_id")
+                .agg(F.max_by(F.struct("event_type", "value", "txid"),
+                              F.col("lsn")).alias("_e"),
+                     F.max("lsn").alias("lsn"))
+                .select("user_id",
+                        F.col("_e.event_type").alias("event_type"),
+                        F.col("_e.value").alias("value"),
+                        F.lit("U").alias("op"), "lsn",
+                        F.col("_e.txid").alias("txid"))
+            )
+
+        merge_into(spark, t, comp(0, cut), applied_upto_lsn=cut, batch_id=0)
+        b = t.create_branch("stage")
+        merge_into(spark, b, comp(cut, n), applied_upto_lsn=n, batch_id=1)
+        assert t.applied_upto_lsn == cut  # audit: main untouched by staging
+        t.publish("stage")
+        _WAP_CACHE[sf] = t
+    t = _WAP_CACHE[sf]
+    return t.read(spark).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+_ZLAKE_CACHE: dict[str, object] = {}
+
+
+def _q_lake_zorder_scan(spark, sf):
+    """Z-order-clustered rewrite (compact(cluster='zorder')) + a TWO-column
+    predicate read through the stats pruner.  Correctness is the oracle's
+    plain filter over last-writer-wins state; the multi-column pruning
+    benefit itself is plan-asserted in tests/test_file_skipping.py."""
+    if sf not in _ZLAKE_CACHE:
+        import tempfile
+
+        from logicaldecoding_spark.operators.merge import merge_into
+        from logicaldecoding_spark.schema import TableSchema
+        from logicaldecoding_spark.table.format import LakeTable
+
+        ev = _t(spark, sf, "events")
+        seq = ev.select(
+            "user_id", "event_type", "value",
+            F.row_number().over(W.orderBy("ts", "event_id")).alias("lsn"),
+            F.col("event_id").alias("txid"),
+        )
+        schema = TableSchema.initial(
+            [("user_id", "long", False), ("event_type", "string", True),
+             ("value", "double", True)]
+        )
+        path = tempfile.mkdtemp(prefix="zorder_lake_")
+        t = LakeTable.create(os.path.join(path, "t"), schema,
+                             pk=("user_id",), n_buckets=4)
+        comp = (
+            seq.groupBy("user_id")
+            .agg(F.max_by(F.struct("event_type", "value", "txid"),
+                          F.col("lsn")).alias("_e"),
+                 F.max("lsn").alias("lsn"))
+            .select("user_id", F.col("_e.event_type").alias("event_type"),
+                    F.col("_e.value").alias("value"),
+                    F.lit("U").alias("op"), "lsn",
+                    F.col("_e.txid").alias("txid"))
+        )
+        merge_into(spark, t, comp, applied_upto_lsn=10**9, batch_id=0)
+        t.compact(spark, sort_by=("user_id", "value"),
+                  max_rows_per_file=500, cluster="zorder")
+        _ZLAKE_CACHE[sf] = t
+    t = _ZLAKE_CACHE[sf]
+    return t.read(
+        spark,
+        where=[("user_id", ">=", 10), ("user_id", "<", 40),
+               ("value", ">=", 0.0), ("value", "<", 50.0)],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational/agg engine demos (Catalyst-native)
 # ---------------------------------------------------------------------------
@@ -595,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": _q_cdc_changelog,
         "lake_pruned_scan": _q_lake_pruned_scan,
         "mv_incremental_agg": _q_mv_incremental_agg,
+        "lake_branch_publish": _q_lake_branch_publish,
+        "lake_zorder_scan": _q_lake_zorder_scan,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_orders": _q_q3_top_orders,
         "s7_full_scan": _q_s7_full_scan,
@@ -853,6 +970,36 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 4) AS min_value,
                    round(max(value), 4) AS max_value
             FROM final GROUP BY event_type
+        """,
+        "lake_branch_publish": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            )
+            SELECT user_id,
+                   arg_max(event_type, lsn) AS last_event_type,
+                   round(arg_max(value, lsn), 4) AS last_value
+            FROM ordered
+            GROUP BY user_id
+        """,
+        "lake_zorder_scan": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            ),
+            final AS (
+                SELECT user_id,
+                       arg_max(event_type, lsn) AS last_event_type,
+                       round(arg_max(value, lsn), 4) AS last_value,
+                       arg_max(value, lsn) AS raw_value
+                FROM ordered GROUP BY user_id
+            )
+            SELECT user_id, last_event_type, last_value
+            FROM final
+            WHERE user_id >= 10 AND user_id < 40
+              AND raw_value >= 0.0 AND raw_value < 50.0
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -400,12 +400,40 @@ class LakeTable:
 
         Versions are a GLOBAL sequence shared by every ref (the exclusive
         create of ``v<N>.metadata.json`` is what arbitrates concurrent
-        committers), so a branch whose head is behind the global maximum
-        must skip the numbers other refs already claimed — ancestry is the
-        ``parent_id`` chain, not version contiguity.  Cost: one metadata-dir
-        listing per commit, bounded by the snapshot-expiry policy."""
-        vs = self._all_versions()
-        return max(vs[-1] if vs else 0, int(base_meta["version"])) + 1
+        committers), so a committer must skip past numbers other refs'
+        COMMITTED heads already claimed — ancestry is the ``parent_id``
+        chain, not version contiguity.  Only ref-VISIBLE heads (the main
+        hint + every branch/tag file) are skipped: a version file claimed
+        by an in-flight commit whose pointer swap hasn't landed is
+        deliberately NOT skipped — allocating over it would let this commit
+        win the pointer race and orphan (or hint-regress over) the other
+        writer's snapshot.  Such collisions surface as the exclusive-create
+        CommitConflictError and resolve in commit_data's refresh-and-retry
+        loop, exactly as before refs existed."""
+        cand = int(base_meta["version"])
+        main_hint = os.path.join(self._meta_dir, "version-hint.text")
+        if self.io.exists(main_hint):
+            cand = max(cand, int(self.io.read_text(main_hint).strip()))
+        for r in self.refs().values():
+            cand = max(cand, int(r["version"]))
+        cand = max(cand, self._retired_floor())
+        return cand + 1
+
+    def _retired_floor(self) -> int:
+        """Highest version number fenced off by dropped refs (see
+        :meth:`drop_ref`): numbers a deleted branch claimed must never be
+        re-contested, or the next committer wedges on a permanent
+        exclusive-create collision."""
+        if not self.io.exists(self._refs_dir):
+            return 0
+        best = 0
+        for entry in self.io.listdir(self._refs_dir):
+            if entry.startswith("retired-") and entry.endswith(".text"):
+                try:
+                    best = max(best, int(entry[len("retired-"):-len(".text")]))
+                except ValueError:
+                    pass
+        return best
 
     def _write_meta(self, meta: dict) -> None:
         if self.ref != "main" and self._resolve_ref_kind(self.ref) == "tag":
@@ -611,8 +639,24 @@ class LakeTable:
     def drop_ref(self, name: str) -> None:
         """Delete a branch or tag pointer.  Snapshots staged on a dropped
         branch become expirable; their data files are reaped by
-        ``expire_snapshots`` + ``remove_orphan_files``."""
-        self.io.remove_file(self._ref_path(name, self._resolve_ref_kind(name)))
+        ``expire_snapshots`` + ``remove_orphan_files``.  A tiny
+        ``retired-<v>.text`` marker fences the dropped ref's version
+        numbers so no later committer re-contests them (the exclusive
+        metadata create would collide forever); lower markers are pruned
+        opportunistically."""
+        kind = self._resolve_ref_kind(name)
+        head = int(self.io.read_text(self._ref_path(name, kind)).strip())
+        floor = self._retired_floor()
+        if head > floor:
+            self.io.write_text_atomic(
+                os.path.join(self._refs_dir, f"retired-{head}.text"),
+                str(head),
+            )
+            for entry in list(self.io.listdir(self._refs_dir)):
+                if entry.startswith("retired-") and entry.endswith(".text") \
+                        and entry != f"retired-{head}.text":
+                    self.io.remove_file(os.path.join(self._refs_dir, entry))
+        self.io.remove_file(self._ref_path(name, kind))
 
     def is_ancestor(self, anc_version: int, desc_version: int) -> bool:
         """True iff ``anc_version`` is on ``desc_version``'s parent chain
@@ -1228,10 +1272,60 @@ class LakeTable:
             for s in stats
         ]
 
+    def _zorder_column(self, df: DataFrame, cols: tuple[str, ...],
+                       bits: int = 6, seed: int = 42) -> Column:
+        """Z-order (Morton) key over ``cols``: per-column quantile rank
+        (``2**bits`` ranks from a bounded, seeded sample) with the rank bits
+        interleaved, so sorting by the key clusters EVERY listed column at
+        once — after a bounded-size file rewrite, manifest min/max stats
+        prune predicates on ANY of the columns, not just the leading one
+        (the multi-dimensional layout ``sort_by`` alone cannot give).
+
+        Rank + interleave are pure JVM expressions (array filter + bit
+        shifts, whole-stage-codegen friendly).  The boundary sample is one
+        extra bounded action (≤65536 values per column, strings truncated to
+        64 chars — a prefix rank is still order-preserving); skewed or
+        stale boundaries only degrade clustering quality, never correctness.
+        """
+        n_ranks = 1 << bits
+        dtypes = dict(df.dtypes)
+        rank_exprs: list[Column] = []
+        for c in cols:
+            is_str = dtypes[c] == "string"
+            probe = F.substring(F.col(c), 1, STATS_MAX_STR) if is_str \
+                else F.col(c)
+            sample = [
+                r[0] for r in df.select(probe.alias("v"))
+                .filter(F.col("v").isNotNull())
+                .sample(fraction=0.5, seed=seed).limit(65536).collect()
+            ]
+            if not sample:
+                rank_exprs.append(F.lit(0))
+                continue
+            sample.sort()
+            bounds, seen = [], set()
+            for i in range(1, n_ranks):
+                b = sample[min(len(sample) - 1, i * len(sample) // n_ranks)]
+                if b not in seen:
+                    seen.add(b)
+                    bounds.append(b)
+            arr = F.array([F.lit(b) for b in bounds])
+            rank = F.size(F.filter(arr, lambda x: x <= probe))
+            rank_exprs.append(
+                F.when(F.col(c).isNull(), F.lit(0)).otherwise(rank)
+            )
+        z = F.lit(0).cast("long")
+        for k in range(bits):
+            for j, r in enumerate(rank_exprs):
+                bit = F.shiftright(r.cast("long"), k).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, k * len(cols) + j)
+        return z
+
     def compact(
         self, spark: SparkSession, buckets: list[int] | None = None,
         sort_by: tuple[str, ...] | None = None,
         max_rows_per_file: int | None = None,
+        cluster: str = "linear",
     ) -> dict:
         """Fold merge-on-read delta/tombstone files into fresh base files
         (the Iceberg/Hudi compaction maintenance op).
@@ -1247,7 +1341,17 @@ class LakeTable:
         successive file cuts carry DISJOINT ranges of the sort key, so the
         manifest min/max stats prune a point/range predicate to ~1 file per
         bucket instead of the whole bucket — the layout a 100 TB table wants
-        for ``lookup``/``read(where=...)``."""
+        for ``lookup``/``read(where=...)``.
+
+        ``cluster='zorder'`` sorts by the interleaved-bit Morton key of the
+        ``sort_by`` columns instead of lexicographically: every listed
+        column's per-file min/max range narrows (at ~equal rates), so
+        predicates on the SECOND or THIRD clustering column still prune —
+        lexicographic order only ever helps the leading column."""
+        if cluster not in ("linear", "zorder"):
+            raise ValueError(f"unknown cluster mode {cluster!r}")
+        if cluster == "zorder" and not sort_by:
+            raise ValueError("cluster='zorder' requires sort_by columns")
         target = (
             sorted(int(b) for b in buckets)
             if buckets is not None
@@ -1258,7 +1362,13 @@ class LakeTable:
             .withColumn("_bucket", bucket_expr(self.n_buckets, self.pk))
             .repartition(max(len(target), 1), "_bucket")
         )
-        if sort_by:
+        if sort_by and cluster == "zorder":
+            df = (
+                df.withColumn("_z", self._zorder_column(df, tuple(sort_by)))
+                .sortWithinPartitions("_bucket", "_z")
+                .drop("_z")  # projection only: within-partition order kept
+            )
+        elif sort_by:
             df = df.sortWithinPartitions("_bucket", *sort_by)
         new_files = self.write_data_files(
             df, spark, content="base", max_rows_per_file=max_rows_per_file

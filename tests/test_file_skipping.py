@@ -348,3 +348,74 @@ def test_read_changes_still_exact_with_pruned_upsert_scan(spark, tmp_path):
     assert sorted(by_type["update"]) == ["r0001", "r0002"]
     assert by_type["insert"] == ["newk"]
     assert by_type["delete"] == ["r0003"]
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering: multi-column pruning
+# ---------------------------------------------------------------------------
+def _kept_files(t, where):
+    preds = normalize_where(where)
+
+    def refuted(m):
+        return any(entry_refutes(m, c, op, v) for (c, op, v) in preds)
+
+    meta = t.metadata()
+    return len(prune_manifest_entries(
+        meta["snapshot"]["manifest"], refuted, t.partition_specs(meta)
+    ))
+
+
+def test_zorder_compaction_prunes_on_every_clustered_column(spark, tmp_path):
+    """Lexicographic sort only narrows the LEADING column's per-file range;
+    z-order narrows every clustered column's, so a predicate on the second
+    column alone still prunes files."""
+    schema = TableSchema.initial([
+        ("repo", "string", False), ("path", "string", False),
+        ("stars", "long", True),
+    ])
+    # stars is a pseudo-random permutation of 0..4095: independent of repo
+    # order, so linear (repo, stars) clustering leaves stars unclustered
+    rows = [
+        (f"r{i:04d}", "p", (i * 2654435761) % 4096, "I", i + 1, 1 + i)
+        for i in range(4096)
+    ]
+
+    def build(name, cluster):
+        t = LakeTable.create(str(tmp_path / name), schema,
+                             pk=("repo", "path"), n_buckets=1)
+        df = spark.createDataFrame(
+            rows, "repo string, path string, stars long,"
+            " op string, lsn long, txid long")
+        merge_into(spark, t, df, applied_upto_lsn=4096, batch_id=0)
+        t.compact(spark, sort_by=("repo", "stars"),
+                  max_rows_per_file=256, cluster=cluster)
+        return t
+
+    lin = build("lin", "linear")
+    zo = build("zo", "zorder")
+    n_files = len(zo.metadata()["snapshot"]["manifest"])
+    assert n_files >= 8
+    assert len(lin.metadata()["snapshot"]["manifest"]) == n_files
+
+    stars_pred = [("stars", ">=", 1024), ("stars", "<", 1280)]
+    # linear: every file spans ~the full stars domain -> nothing prunes
+    assert _kept_files(lin, stars_pred) == n_files
+    # zorder: the stars strip intersects only its z-blocks
+    assert _kept_files(zo, stars_pred) <= n_files // 2
+    # the leading column still prunes under zorder (coarser than linear's
+    # perfect run, but bounded)
+    repo_pred = [("repo", ">=", "r1000"), ("repo", "<", "r1100")]
+    assert _kept_files(zo, repo_pred) <= n_files // 2
+    assert _kept_files(lin, repo_pred) <= 2
+
+    # pruned reads remain exact on both layouts
+    for t in (lin, zo):
+        got = sorted(
+            r["repo"] for r in t.read(spark, where=stars_pred).collect()
+        )
+        want = sorted(
+            f"r{i:04d}" for i in range(4096)
+            if 1024 <= (i * 2654435761) % 4096 < 1280
+        )
+        assert got == want
+    assert zo.read(spark).count() == 4096

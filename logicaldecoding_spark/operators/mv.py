@@ -323,8 +323,29 @@ class MaterializedAggregate:
         if n_rescan == 0:
             return keep
         # retraction touched a min/max group: recompute those groups from
-        # the source head (the only exact repair; see module docstring)
-        src_head = src.read_version(spark, head)
+        # the source head (the only exact repair; see module docstring).
+        # When the retracted key set is small and NULL-free, push it into
+        # read(where=in-list) so the manifest column stats SKIP files that
+        # provably hold none of those groups — on a source kept clustered
+        # by the group columns (compact(sort_by=group) or cluster='zorder')
+        # the rescan drops from O(source) to O(files holding those groups).
+        # Multi-column groups push each column's in-list independently (a
+        # superset of the key tuples); the semi-join below stays the exact
+        # filter either way, and NULL keys fall back to the full scan
+        # (stats comparisons can never prove a NULL row present).
+        where = None
+        if 0 < n_rescan <= 1024:
+            key_rows = rescan_keys.collect()  # bounded by the count gate
+            where = []
+            for c in g:
+                vals = {r[c] for r in key_rows}
+                if None not in vals and 0 < len(vals) <= 64:
+                    where.append((c, "in", sorted(vals)))
+            where = where or None
+        src_head = src.read(
+            spark, where=where,
+            _meta_override=src._load_meta_version(head),
+        )
         rk = rescan_keys.alias("rk")
         sh = src_head.alias("sh")
         rcond = reduce(

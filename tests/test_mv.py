@@ -270,3 +270,44 @@ def test_streaming_live_mv_maintained_from_tail(spark, small_log, tmp_path):
     got = {r["lang"]: r["n"] for r in holder["mv"].read(spark)
            .select("lang", "n").collect()}
     assert got == want
+
+
+def test_mv_rescan_pushes_group_inlist_into_file_skipping(
+        spark, tmp_path, monkeypatch):
+    """A min/max retraction rescan restricts the source read with a
+    (group, in, keys) predicate, so on a group-clustered source the stats
+    pruner skips files holding none of the retracted groups."""
+    t = _build_source(spark, tmp_path)
+    t.compact(spark, sort_by=("lang", "stars"), max_rows_per_file=10)
+    mv = MaterializedAggregate.create(
+        str(tmp_path / "mv"), t, ["lang"],
+        {"min_stars": ("min", "stars"), "max_stars": ("max", "stars")},
+        n_buckets=4)
+    mv.refresh(spark)
+    # retract the current rs maximum -> exactly one group rescans
+    rs_max = (t.read(spark).filter("lang = 'rs'")
+              .orderBy(F.desc("stars")).first())
+    _apply(spark, t, [(rs_max["repo"], rs_max["path"], None, None,
+                       "D", 900, 9)], lsn=900, bid=9)
+
+    captured = {}
+    orig = LakeTable.read
+
+    def spy(self, spark_, *a, **kw):
+        if kw.get("where"):
+            captured["where"] = kw["where"]
+        return orig(self, spark_, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "read", spy)
+    res = mv.refresh(spark)
+    assert res["rescanned"] == 1
+    assert captured["where"] == [("lang", "in", ["rs"])]
+    got = {r["lang"]: r for r in mv.read(spark).collect()}
+    want = {r["lang"]: r for r in
+            t.read(spark).groupBy("lang").agg(
+                F.min("stars").alias("min_stars"),
+                F.max("stars").alias("max_stars")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["min_stars"] == want[k]["min_stars"]
+        assert got[k]["max_stars"] == want[k]["max_stars"]

@@ -653,8 +653,16 @@ class LakeTable:
                 str(head),
             )
             for entry in list(self.io.listdir(self._refs_dir)):
-                if entry.startswith("retired-") and entry.endswith(".text") \
-                        and entry != f"retired-{head}.text":
+                if not (entry.startswith("retired-")
+                        and entry.endswith(".text")):
+                    continue
+                try:
+                    v = int(entry[len("retired-"):-len(".text")])
+                except ValueError:
+                    continue
+                # prune strictly-LOWER markers only: a concurrent drop may
+                # have fenced a higher number we must not unfence
+                if v < head:
                     self.io.remove_file(os.path.join(self._refs_dir, entry))
         self.io.remove_file(self._ref_path(name, kind))
 

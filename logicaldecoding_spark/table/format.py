@@ -611,7 +611,7 @@ class LakeTable:
         return out
 
     def _create_ref(self, name: str, kind: str, at_version: int | None) -> int:
-        if (not name or name == "main" or "/" in name or os.sep in name
+        if (not name or name == "main" or "/" in name or "\\" in name
                 or name != name.strip()):
             raise ValueError(f"invalid ref name {name!r}")
         v = self.version if at_version is None else int(at_version)

@@ -569,6 +569,13 @@ def replay(
     schema_drift: str = "warn",
     # hot-key auto-salting probe threshold (see apply_plans)
     salt_auto_min_events: int = 100_000,
+    # replay onto a named BRANCH instead of main (created at the current
+    # head if absent): the write-audit-publish flow for CDC backfills —
+    # main readers never see the replay until LakeTable.publish(ref); a bad
+    # backfill is drop_ref'd without a trace.  Resume reads the BRANCH's
+    # watermark, so a crashed branch replay re-runs exactly-once on the
+    # branch while main stays put.
+    ref: str = "main",
 ) -> dict:
     """Replay a captured log into the table; returns run metrics.
 
@@ -619,6 +626,11 @@ def replay(
             raise ValueError("direct_slim_scan supports JSON-wire logs only")
     table = ensure_table(table_path, initial_schema, pk, n_buckets) if create \
         else LakeTable.load(table_path)
+    if ref != "main":
+        try:
+            table = LakeTable.load(table_path, ref=ref)
+        except FileNotFoundError:
+            table = table.create_branch(ref)
     plans = plan_batches(plan_raw, target_data_batches=n_data_batches,
                          parse_mode="proto" if parse_mode == "proto" else "native",
                          source_table=source_table,
@@ -653,7 +665,7 @@ def replay(
     )
 
     wall = time.time() - t0
-    final = LakeTable.load(table.path)
+    final = LakeTable.load(table.path, ref=table.ref)
     run = {
         "batches_planned": len(plans),
         "batches_applied": len(metrics),

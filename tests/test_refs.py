@@ -156,3 +156,32 @@ def test_dropped_branch_files_are_reaped(spark, tmp_path):
     assert {r["repo"] for r in t.read(spark).collect()} == {"r"}
     for rel in staged_files:
         assert not os.path.exists(os.path.join(t.path, rel))
+
+
+def test_replay_onto_branch_then_publish(spark, small_log, small_oracle,
+                                         tmp_path):
+    """The CDC backfill WAP flow: replay part of the log to main, replay the
+    rest onto a branch (main's watermark and state frozen), audit, publish —
+    main then equals the full-log oracle."""
+    from logicaldecoding_spark.plans.replay import replay
+    from tests.util import assert_converged
+
+    log_path, _ = small_log
+    oracle_state, _ = small_oracle
+    tbl = str(tmp_path / "t")
+    replay(spark, log_path, tbl, n_buckets=8, n_data_batches=3,
+           parse_mode="native", stop_after_batches=2)
+    t = LakeTable.load(tbl)
+    v_main, wm_main = t.version, t.applied_upto_lsn
+
+    run = replay(spark, log_path, tbl, n_buckets=8, n_data_batches=3,
+                 parse_mode="native", ref="backfill")
+    # main untouched by the branch replay
+    t = LakeTable.load(tbl)
+    assert (t.version, t.applied_upto_lsn) == (v_main, wm_main)
+    b = LakeTable.load(tbl, ref="backfill")
+    assert b.applied_upto_lsn > wm_main
+    assert run["table_version"] == b.version
+
+    t.publish("backfill")
+    assert_converged(spark, tbl, oracle_state)

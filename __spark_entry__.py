@@ -334,6 +334,29 @@ def _q_lake_pruned_scan(spark, sf):  # stats-pruned predicate scan of the lake
     )
 
 
+def _q_lake_meta_agg(spark, sf):
+    """Metadata-only aggregate (LakeTable.agg_stats): count/min/max folded
+    from manifest footer stats with ZERO Spark jobs — ``spark=None`` in the
+    agg_stats call is the proof (any scan would raise).  The oracle
+    recomputes the same numbers from the raw events the long way."""
+    t, _cut, _v = _events_lake(spark, sf)
+    st = t.agg_stats(None, cols=("user_id", "value"))
+    raw = spark.createDataFrame(
+        [(st["rows"], st["cols"]["user_id"]["min"],
+          st["cols"]["user_id"]["max"], st["cols"]["value"]["min"],
+          st["cols"]["value"]["max"], st["cols"]["value"]["nulls"],
+          st["scanned_files"])],
+        "n_rows long, min_user long, max_user long, min_value double,"
+        " max_value double, value_nulls long, scanned_files long",
+    )
+    return raw.select(
+        "n_rows", "min_user", "max_user",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        "value_nulls", "scanned_files",
+    )
+
+
 _MV_CACHE: dict[str, object] = {}
 
 
@@ -709,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tt_time_travel": _q_tt_time_travel,
         "cdc_changelog": _q_cdc_changelog,
         "lake_pruned_scan": _q_lake_pruned_scan,
+        "lake_meta_agg": _q_lake_meta_agg,
         "mv_incremental_agg": _q_mv_incremental_agg,
         "lake_branch_publish": _q_lake_branch_publish,
         "lake_zorder_scan": _q_lake_zorder_scan,
@@ -951,6 +975,25 @@ def oracle_sql() -> dict[str, str]:
             FROM ordered
             WHERE user_id >= 3 AND user_id < 8
             GROUP BY user_id
+        """,
+        "lake_meta_agg": """
+            WITH ordered AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (ORDER BY ts, event_id) AS lsn
+                FROM events
+            ),
+            last AS (
+                SELECT user_id, arg_max(value, lsn) AS value
+                FROM ordered GROUP BY user_id
+            )
+            SELECT count(*) AS n_rows,
+                   min(user_id) AS min_user,
+                   max(user_id) AS max_user,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+                   CAST(0 AS BIGINT) AS scanned_files
+            FROM last
         """,
         "mv_incremental_agg": """
             WITH ordered AS (

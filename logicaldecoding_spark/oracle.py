@@ -106,6 +106,16 @@ def replay_oracle(
         if op == OP_RELATION:
             ch = ev["change"]
             schema = schema.apply_change(ch["kind"], ch["column"], ch["type"])
+            # metadata-only rename/drop still changes what a reader SEES:
+            # mirror it on already-folded rows (the engine's field-id read
+            # projection does the same to already-written files)
+            if ch["kind"] == "rename_column":
+                for row in state.values():
+                    if ch["column"] in row:
+                        row[ch["type"]] = row.pop(ch["column"])
+            elif ch["kind"] == "drop_column":
+                for row in state.values():
+                    row.pop(ch["column"], None)
             continue
         if op == OP_DELETE:
             old = ev.get("old") or {}

@@ -368,6 +368,19 @@ def _assemble_plans(
         return ((b if b is not None else lsn) - 1, c)
 
     plans: list[BatchPlan] = []
+    # Eager folding is only sound for FORWARD-COMPATIBLE changes: an
+    # add_column/widen_type applied before its log position just means
+    # earlier events lack the column (NULL) / upcast losslessly.  A
+    # rename/drop applied early would hide columns that pre-DDL events
+    # still carry — their values would be silently not applied, the exact
+    # silent-loss class this engine refuses.  Such logs fall back to
+    # positional epochs (the changes are applied exactly where they
+    # happened; data batches re-tile around them).
+    if eager_evolution and any(
+        ch["kind"] not in ("add_column", "widen_type")
+        for (_, _, ch) in r_rows
+    ):
+        eager_evolution = False
     if eager_evolution:
         for lsn, txid, ch in r_rows:
             span = _r_span(lsn, txid)

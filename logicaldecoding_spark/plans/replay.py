@@ -739,6 +739,20 @@ def apply_plans_multi(
     metrics: dict[str, list[dict]] = {n: [] for n in sinks}
 
     # --- schema plans: metadata-only, per table ---------------------------
+    # applied up front, which is only sound for forward-compatible changes
+    # (the same rule _assemble_plans enforces for eager folding); a
+    # rename/drop needs positional application -> per-table replay
+    for name, tbl in sinks.items():
+        for b in plans_by_table[name]:
+            if b.kind == "schema" and b.change[0] not in (
+                "add_column", "widen_type"
+            ):
+                raise ValueError(
+                    f"table {name!r} carries a {b.change[0]} schema change: "
+                    "rename/drop cannot be folded forward — replay this "
+                    "table on its own (plan_batches/apply_plans apply such "
+                    "changes at their log position)"
+                )
     for name, tbl in sinks.items():
         for i, b in enumerate(plans_by_table[name]):
             if b.kind != "schema":

@@ -44,9 +44,11 @@ LINEAGE_COLS = ("_last_lsn", "_last_txid")
 # ---------------------------------------------------------------------------
 SCHEMA_CHANGE_TYPE = T.StructType(
     [
-        T.StructField("kind", T.StringType()),  # add_column | widen_type
+        # add_column | widen_type | rename_column | drop_column
+        T.StructField("kind", T.StringType()),
         T.StructField("column", T.StringType()),
-        T.StructField("type", T.StringType()),  # target logical type name
+        # target logical type name; for rename_column, the NEW column name
+        T.StructField("type", T.StringType()),
     ]
 )
 
@@ -130,10 +132,23 @@ class Field:
 
 @dataclass
 class TableSchema:
-    """Ordered field list + stable ids; supports add_column / widen_type."""
+    """Ordered field list + stable ids; supports add_column / widen_type /
+    rename_column / drop_column (the Iceberg evolution set minus reorder).
+
+    ``last_id`` is the Iceberg ``last-column-id``: the highest field id EVER
+    assigned, including dropped fields.  add_column allocates above it, so a
+    dropped column's id is never reused — the field-id read projection would
+    otherwise resurrect the dropped column's old values into a later
+    same-named column."""
 
     fields: list[Field] = field(default_factory=list)
     schema_id: int = 0
+    last_id: int = 0
+
+    def __post_init__(self):
+        floor = max((f.id for f in self.fields), default=0)
+        if self.last_id < floor:
+            self.last_id = floor
 
     # -- construction -------------------------------------------------------
     @staticmethod
@@ -154,10 +169,11 @@ class TableSchema:
                 raise ValueError(f"column {name!r} already exists")
         if type_name not in _SPARK_TYPES:
             raise ValueError(f"unknown type {type_name!r}")
-        next_id = max(f.id for f in self.fields) + 1 if self.fields else 1
+        next_id = self.last_id + 1
         return TableSchema(
             fields=[*self.fields, Field(next_id, name, type_name, True)],
             schema_id=self.schema_id + 1,
+            last_id=next_id,
         )
 
     def widen_type(self, name: str, to_type: str) -> "TableSchema":
@@ -176,13 +192,56 @@ class TableSchema:
                 out.append(f)
         if not found:
             raise ValueError(f"no column {name!r}")
-        return TableSchema(fields=out, schema_id=self.schema_id + 1)
+        return TableSchema(fields=out, schema_id=self.schema_id + 1,
+                           last_id=self.last_id)
+
+    def rename_column(self, old: str, new: str) -> "TableSchema":
+        """Metadata-only rename: the field keeps its id (and therefore all
+        its already-written data files — the id-based read projection
+        surfaces old files' values under the new name, per the Iceberg
+        spec's rename rule)."""
+        names = {f.name for f in self.fields}
+        if old not in names:
+            if new in names:
+                return self  # idempotent re-apply (crash-resume)
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if not new or new.startswith("_"):
+            raise ValueError(f"illegal column name {new!r}")
+        out = [
+            Field(f.id, new, f.type, f.nullable) if f.name == old else f
+            for f in self.fields
+        ]
+        return TableSchema(fields=out, schema_id=self.schema_id + 1,
+                           last_id=self.last_id)
+
+    def drop_column(self, name: str) -> "TableSchema":
+        """Metadata-only drop: data files are untouched; the read projection
+        simply stops selecting the field.  Its id is retired forever
+        (``last_id`` never decreases), so a later same-named add_column gets
+        a fresh id and does NOT resurrect the dropped values."""
+        if all(f.name != name for f in self.fields):
+            return self  # idempotent re-apply (crash-resume)
+        if len(self.fields) == 1:
+            raise ValueError("cannot drop the last column")
+        return TableSchema(
+            fields=[f for f in self.fields if f.name != name],
+            schema_id=self.schema_id + 1,
+            last_id=self.last_id,
+        )
 
     def apply_change(self, kind: str, column: str, type_name: str) -> "TableSchema":
         if kind == "add_column":
             return self.add_column(column, type_name)
         if kind == "widen_type":
             return self.widen_type(column, type_name)
+        if kind == "rename_column":
+            # wire shape reuses the {kind, column, type} triple: ``column``
+            # is the old name, ``type`` carries the NEW name
+            return self.rename_column(column, type_name)
+        if kind == "drop_column":
+            return self.drop_column(column)
         raise ValueError(f"unknown schema change kind {kind!r}")
 
     # -- views ---------------------------------------------------------------
@@ -199,12 +258,20 @@ class TableSchema:
         return T.StructType(fields)
 
     def to_json(self) -> dict:
-        return {"schema_id": self.schema_id, "fields": [f.to_json() for f in self.fields]}
+        return {
+            "schema_id": self.schema_id,
+            "last_column_id": self.last_id,
+            "fields": [f.to_json() for f in self.fields],
+        }
 
     @staticmethod
     def from_json(d: dict) -> "TableSchema":
+        # pre-rename/drop metadata carries no last_column_id; max(field id)
+        # is exact for it (nothing was ever dropped)
         return TableSchema(
-            fields=[Field.from_json(f) for f in d["fields"]], schema_id=d["schema_id"]
+            fields=[Field.from_json(f) for f in d["fields"]],
+            schema_id=d["schema_id"],
+            last_id=d.get("last_column_id", 0),
         )
 
 

@@ -782,26 +782,36 @@ class LakeTable:
         preds: list[tuple[str, str, object]] = []
         if where:
             preds = normalize_where(where)
-            current_names = {f.name for f in current.fields} | {
-                "_last_lsn", "_last_txid"
-            }
-            lacks: dict[str, set[int]] = {}
+            current_by_name = {f.name: f for f in current.fields}
+            # per-schema-id PHYSICAL name of each predicate column, resolved
+            # by field id (stats in manifest entries are keyed by the name
+            # the file was WRITTEN under — after a rename that differs from
+            # the current name; None = the field id did not exist in that
+            # schema, so the file provably holds no value for it)
+            pred_phys: dict[str, dict[int, str | None]] = {}
             for c, _, _ in preds:
-                if c not in current_names:
+                if c in ("_last_lsn", "_last_txid"):
+                    continue  # lineage columns exist in every file verbatim
+                f = current_by_name.get(c)
+                if f is None:
                     raise ValueError(f"where column {c!r} not in table schema")
-                if not c.startswith("_"):
-                    lacks[c] = {
-                        s["schema_id"]
-                        for s in meta["schemas"]
-                        if all(f["name"] != c for f in s["fields"])
-                    }
+                pred_phys[c] = {
+                    s["schema_id"]: next(
+                        (fd["name"] for fd in s["fields"] if fd["id"] == f.id),
+                        None,
+                    )
+                    for s in meta["schemas"]
+                }
 
             def _refuted(m: dict) -> bool:
-                return any(
-                    m["schema_id"] in lacks.get(c, ())
-                    or entry_refutes(m, c, op, v)
-                    for (c, op, v) in preds
-                )
+                sid = m["schema_id"]
+                for (c, op, v) in preds:
+                    name = pred_phys[c].get(sid, c) if c in pred_phys else c
+                    if name is None:  # written before the column existed
+                        return True
+                    if entry_refutes(m, name, op, v):
+                        return True
+                return False
 
             manifest = prune_manifest_entries(
                 manifest, _refuted, self.partition_specs(meta)
@@ -857,12 +867,17 @@ class LakeTable:
                 if content == "delta":
                     phys.append(T.StructField("_op", T.StringType(), True))
                 part = spark.read.schema(T.StructType(phys)).parquet(*paths)
-                file_names = {f.name for f in file_schema.fields}
+                # match by FIELD ID, not name (the Iceberg projection rule):
+                # a renamed column's old files surface their values under
+                # the new name; a dropped-then-re-added name gets a fresh id,
+                # so the old files' retired values do NOT resurrect into it
+                file_by_id = {f.id: f for f in file_schema.fields}
                 cols = []
                 for f in current.fields:
-                    if f.name in file_names:
+                    pf = file_by_id.get(f.id)
+                    if pf is not None:
                         cols.append(
-                            F.col(f.name).cast(out_struct[f.name].dataType)
+                            F.col(pf.name).cast(out_struct[f.name].dataType)
                             .alias(f.name)
                         )
                     else:
@@ -933,12 +948,20 @@ class LakeTable:
         """
         meta = self.metadata()
         current = TableSchema.from_json(meta["schema"])
+        if kind == "drop_column" and column in meta["pk"]:
+            raise ValueError(f"cannot drop primary-key column {column!r}")
         schema = current.apply_change(kind, column, type_name)
         if schema is current:
             return  # idempotent re-apply (crash-resume): no new snapshot
         new_meta = dict(meta)
         new_meta["version"] = self._next_version(meta)
         new_meta["schema"] = schema.to_json()
+        if kind == "rename_column" and column in meta["pk"]:
+            # pk is stored by name; the bucket hash is over VALUES, so a
+            # pk rename moves no data — only the stored name list follows
+            new_meta["pk"] = [
+                type_name if c == column else c for c in meta["pk"]
+            ]
         new_meta["schemas"] = [*meta["schemas"], schema.to_json()]
         snap = dict(meta["snapshot"])
         snap["snapshot_id"] = new_meta["version"]
@@ -1503,6 +1526,127 @@ class LakeTable:
         rows = self.lookup(spark, [key]).collect()
         return rows[0] if rows else None
 
+    def agg_stats(self, spark: SparkSession | None = None,
+                  cols: tuple[str, ...] = ()) -> dict:
+        """Metadata-only ``count(*)`` / per-column min / max / null-count
+        (the Iceberg/Trino metadata-query optimization): every pure-base
+        manifest entry whose footer stats PROVE its contribution folds
+        driver-side from KBs of metadata; only entries under merge-on-read
+        reconciliation — or whose stats are unusable (truncated string
+        bound, unknown null count) — are actually scanned.  On a compacted
+        100 TB table this answers from the manifest alone, zero Spark jobs.
+
+        The result is always EXACT (bounds-only answers are never returned);
+        ``scanned_files`` reports how many files could not be proven from
+        metadata (0 = no Spark job ran; ``spark`` may then be None).
+        Renamed columns resolve per-file by field id, like ``read``.
+        """
+        meta = self.metadata()
+        current = TableSchema.from_json(meta["schema"])
+        by_name = {f.name: f for f in current.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"column {c!r} not in table schema")
+        phys: dict[str, dict[int, str | None]] = {
+            c: {
+                s["schema_id"]: next(
+                    (fd["name"] for fd in s["fields"]
+                     if fd["id"] == by_name[c].id), None)
+                for s in meta["schemas"]
+            }
+            for c in cols
+        }
+        str_cols = {c for c in cols if by_name[c].type == "string"}
+
+        pure, reconcile = split_manifest_for_read(
+            meta["snapshot"]["manifest"], self.partition_specs(meta)
+        )
+        scan_entries = list(reconcile)
+        total = 0
+        fold: dict[str, list] = {c: [None, None, 0] for c in cols}
+
+        def _provable(m: dict) -> dict | None:
+            """Per-column (lo, hi, nulls) contributions of a pure entry, or
+            None if any requested column's stats can't prove exactness."""
+            rows = m.get("rows")
+            if rows is None:
+                return None
+            out = {}
+            stats = m.get("stats") or {}
+            for c in cols:
+                pn = phys[c].get(m["schema_id"])
+                if pn is None:  # column did not exist: all rows NULL
+                    out[c] = (None, None, rows)
+                    continue
+                st = stats.get(pn)
+                if st is None:
+                    return None
+                lo, hi, nulls = st
+                if nulls is None:
+                    return None
+                if lo is None and hi is None:
+                    if nulls != rows:
+                        return None  # bounds suppressed, not all-NULL
+                elif lo is None or hi is None:
+                    return None  # one-sided (truncation dropped a bound)
+                elif c in str_cols and len(lo) >= STATS_MAX_STR:
+                    return None  # lower bound may be a truncated prefix
+                out[c] = (lo, hi, nulls)
+            return out
+
+        for m in pure:
+            contrib = _provable(m)
+            if contrib is None:
+                scan_entries.append(m)
+                continue
+            total += int(m["rows"])
+            for c, (lo, hi, nulls) in contrib.items():
+                f = fold[c]
+                if lo is not None and (f[0] is None or lo < f[0]):
+                    f[0] = lo
+                if hi is not None and (f[1] is None or hi > f[1]):
+                    f[1] = hi
+                f[2] += nulls
+
+        if scan_entries:
+            if spark is None:
+                raise ValueError(
+                    f"{len(scan_entries)} files are not provable from "
+                    "metadata (MoR deltas or unusable stats): pass a "
+                    "SparkSession to scan them"
+                )
+            snap = dict(meta["snapshot"])
+            snap["manifest"] = scan_entries
+            sub = dict(meta)
+            sub["snapshot"] = snap
+            df = self.read(spark, _meta_override=sub)
+            aggs = [F.count(F.lit(1)).alias("_n")]
+            for i, c in enumerate(cols):
+                aggs += [
+                    F.min(c).alias(f"_lo{i}"), F.max(c).alias(f"_hi{i}"),
+                    F.count_if(F.col(c).isNull()).alias(f"_nl{i}"),
+                ]
+            r = df.agg(*aggs).collect()[0]
+            total += int(r["_n"])
+            for i, c in enumerate(cols):
+                f = fold[c]
+                lo, hi = r[f"_lo{i}"], r[f"_hi{i}"]
+                if lo is not None and (f[0] is None or lo < f[0]):
+                    f[0] = lo
+                if hi is not None and (f[1] is None or hi > f[1]):
+                    f[1] = hi
+                f[2] += int(r[f"_nl{i}"])
+
+        return {
+            "rows": total,
+            "cols": {
+                c: {"min": fold[c][0], "max": fold[c][1],
+                    "nulls": fold[c][2]}
+                for c in cols
+            },
+            "scanned_files": len(scan_entries),
+        }
+
     # ---------------------------------------------------------- maintenance
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop metadata of old snapshots, keeping the newest ``keep_last``
@@ -1594,7 +1738,9 @@ class LakeTable:
             self.metadata() if to_version is None
             else self._load_meta_version(to_version)
         )
-        pk = list(self.pk)
+        # to-side pk NAMES: both sides are projected to the to-side schema
+        # below, so a pk rename between the two versions joins correctly
+        pk = list(to_meta["pk"])
 
         # ---- manifest diff -> touched to-side buckets -------------------
         restrict: list[int] | None = None
@@ -1631,9 +1777,15 @@ class LakeTable:
         old = self.read(spark, buckets=restrict, _meta_override=meta_from)
         to_schema = TableSchema.from_json(to_meta["schema"])
         to_struct = to_schema.to_spark(with_lineage=True)
-        old_cols = set(old.columns)
+        # the from-side read is projected to the FROM schema's names; map it
+        # to the to-side by FIELD ID so a rename between the two versions
+        # carries the values across (and a drop+re-add stays NULL)
+        from_by_id = {
+            f.id: f.name
+            for f in TableSchema.from_json(meta_from["schema"]).fields
+        }
         proj = [
-            (F.col(f.name) if f.name in old_cols else F.lit(None))
+            (F.col(from_by_id[f.id]) if f.id in from_by_id else F.lit(None))
             .cast(to_struct[f.name].dataType).alias(f.name)
             for f in to_schema.fields
         ]

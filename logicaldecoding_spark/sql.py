@@ -102,6 +102,39 @@ def describe_history(
     return df
 
 
+def describe_files(
+    spark: SparkSession, table: str | LakeTable, view: str | None = None,
+) -> DataFrame:
+    """The current snapshot's data files as a DataFrame (the Iceberg
+    ``<table>.files`` metadata table): path, bucket slot, content kind
+    (base/delta), row count, lsn bound, and the per-column footer stats as
+    a JSON string (``get_json_object(stats_json, '$.col[0]')`` = min,
+    ``[1]`` = max, ``[2]`` = null count).  Driver-side metadata only — no
+    data file is opened; this is how an operator audits file skipping,
+    clustering quality, and MoR delta buildup from SQL."""
+    import json as _json
+
+    t = table if isinstance(table, LakeTable) else LakeTable.load(table)
+    meta = t.metadata()
+    rows = [
+        (
+            m["path"], int(m["bucket"]), int(m.get("spec_id", 0)),
+            int(m["schema_id"]), m.get("content", "base"),
+            m.get("rows"), m.get("max_lsn"),
+            _json.dumps(m.get("stats") or {}),
+        )
+        for m in meta["snapshot"]["manifest"]
+    ]
+    df = spark.createDataFrame(
+        rows if rows else spark.sparkContext.emptyRDD(),
+        "path string, bucket int, spec_id int, schema_id int,"
+        " content string, rows long, max_lsn long, stats_json string",
+    )
+    if view is not None:
+        df.createOrReplaceTempView(view)
+    return df
+
+
 def describe_refs(
     spark: SparkSession, table: str | LakeTable, view: str | None = None,
 ) -> DataFrame:

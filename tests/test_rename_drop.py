@@ -286,3 +286,27 @@ def test_replay_rename_drop_converges_with_oracle(
     t = LakeTable.load(table_path)
     assert t.schema.names() == schema.names()
     assert_converged(spark, table_path, state)
+
+
+def test_streaming_rename_drop_converges(spark, rename_drop_log, tmp_path):
+    """The live tail applies rename/drop at their log positions too: each
+    micro-batch plans with plan_batches, whose eager folding falls back to
+    positional epochs when a non-forward-compatible change is present."""
+    from logicaldecoding_spark.generator import split_log_dir
+    from logicaldecoding_spark.streaming.stream_replay import stream_replay
+
+    log_dir = str(tmp_path / "rd_dir")
+    split_log_dir(rename_drop_log, log_dir, n_files=5, cut_mid_txn=True)
+    table_path = str(tmp_path / "t_stream_rd")
+    q = stream_replay(
+        spark, log_dir, table_path, str(tmp_path / "ckpt_rd"),
+        n_buckets=8, parse_mode="native", max_files_per_trigger=2,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state, schema = replay_oracle(rename_drop_log)
+    t = LakeTable.load(table_path)
+    assert t.schema.names() == schema.names()
+    assert_converged(spark, table_path, state)

@@ -94,3 +94,29 @@ def test_table_changes_view_and_metadata_frames(spark, tmp_path):
     assert [(r["name"], r["kind"], r["version"]) for r in refs] == [
         ("rc", "tag", t.version)
     ]
+
+
+def test_describe_files_metadata_table(spark, tmp_path):
+    from logicaldecoding_spark.sql import describe_files
+
+    t = _mk(spark, tmp_path)
+    merge_into(
+        spark, t,
+        _compacted(spark, [("r0", "p", "c9", "py", "z", "U", 30, 0, 2)]),
+        applied_upto_lsn=30, batch_id=1, mode="mor",
+    )
+    df = describe_files(spark, t, view="repos_files")
+    man = t.metadata()["snapshot"]["manifest"]
+    assert df.count() == len(man)
+    # row counts come straight from the manifest, and the delta is visible
+    got = spark.sql(
+        "SELECT content, sum(rows) AS n FROM repos_files GROUP BY content"
+    ).collect()
+    by_kind = {r["content"]: r["n"] for r in got}
+    assert by_kind["base"] == 20 and by_kind["delta"] == 1
+    # footer stats reachable from SQL
+    lo = spark.sql(
+        "SELECT min(get_json_object(stats_json, '$.repo[0]')) AS lo"
+        " FROM repos_files WHERE content = 'base'"
+    ).collect()[0]["lo"]
+    assert lo == "r0"

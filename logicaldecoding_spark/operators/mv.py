@@ -164,6 +164,21 @@ class MaterializedAggregate:
 
         g = list(self.group_by)
         ch = src.read_changes(spark, cur, head, include_preimages=True)
+        # the changelog is emitted under the TO-side schema: a tracked
+        # source column renamed/dropped in (cursor, head] would otherwise
+        # surface as a cryptic unresolved-column error mid-fold
+        needed = set(g) | {
+            c for (_fn, c) in self.aggs.values() if c != "*"
+        }
+        missing = sorted(needed - set(ch.columns))
+        if missing:
+            raise ValueError(
+                f"source columns {missing} tracked by this materialized "
+                "aggregate no longer exist at source version "
+                f"{head} (renamed or dropped): recreate the MV against the "
+                "new names — incremental state keyed by the old names "
+                "cannot be folded forward"
+            )
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))

@@ -310,3 +310,57 @@ def test_streaming_rename_drop_converges(spark, rename_drop_log, tmp_path):
     t = LakeTable.load(table_path)
     assert t.schema.names() == schema.names()
     assert_converged(spark, table_path, state)
+
+
+def test_compact_and_zorder_after_rename(spark, tmp_path):
+    """Maintenance ops run on the post-rename schema: compaction (incl.
+    sort clustering by the renamed column) folds MoR deltas and rewrites
+    under the current schema id."""
+    t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA,
+                         n_buckets=2)
+    merge_into(
+        spark, t,
+        _compacted(spark, [(f"r{i}", "p", f"c{i}", "py", "x", "I", i + 1, 0, 1)
+                           for i in range(10)]),
+        applied_upto_lsn=10, batch_id=0,
+    )
+    merge_into(
+        spark, t,
+        _compacted(spark, [("r1", "p", "cX", "rs", "y", "U", 20, 0, 2)]),
+        applied_upto_lsn=20, batch_id=1, mode="mor",
+    )
+    t.evolve_schema("rename_column", "lang", "language", None)
+    t.compact(spark, sort_by=("language",))
+    assert {m["content"] for m in t.metadata()["snapshot"]["manifest"]} == {
+        "base"}
+    rows = {r["repo"]: r["language"] for r in t.read(spark).collect()}
+    assert rows["r1"] == "rs" and rows["r2"] == "py"
+
+
+def test_mv_refresh_fails_loudly_on_source_rename(spark, tmp_path):
+    """An incremental MV whose tracked source column is renamed mid-window
+    refuses the fold with a clear message (state keyed by old names cannot
+    be folded forward) instead of an unresolved-column error."""
+    from logicaldecoding_spark.operators.mv import MaterializedAggregate
+
+    t = LakeTable.create(str(tmp_path / "src"), REPOS_INITIAL_SCHEMA,
+                         n_buckets=2)
+    merge_into(
+        spark, t,
+        _compacted(spark, [("r1", "p", "c1", "py", "x", "I", 1, 0, 1)]),
+        applied_upto_lsn=1, batch_id=0,
+    )
+    mv = MaterializedAggregate.create(
+        str(tmp_path / "mv"), t, group_by=["lang"],
+        aggs={"n": ("count", "*")},
+    )
+    mv.refresh(spark)
+    t.evolve_schema("rename_column", "lang", "language", None)
+    merge_into(
+        spark, t,
+        _compacted(spark, [("r2", "p", "c2", "rs", "y", "I", 5, 0, 2)],
+                   "language"),
+        applied_upto_lsn=5, batch_id=1,
+    )
+    with pytest.raises(ValueError, match="renamed or dropped"):
+        mv.refresh(spark)

@@ -122,13 +122,15 @@ def describe_files(
             int(m["schema_id"]), m.get("content", "base"),
             m.get("rows"), m.get("max_lsn"),
             _json.dumps(m.get("stats") or {}),
+            (m.get("bloom") or {}).get("col"),
         )
         for m in meta["snapshot"]["manifest"]
     ]
     df = spark.createDataFrame(
         rows if rows else spark.sparkContext.emptyRDD(),
         "path string, bucket int, spec_id int, schema_id int,"
-        " content string, rows long, max_lsn long, stats_json string",
+        " content string, rows long, max_lsn long, stats_json string,"
+        " bloom_col string",
     )
     if view is not None:
         df.createOrReplaceTempView(view)

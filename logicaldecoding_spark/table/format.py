@@ -140,6 +140,68 @@ STATS_MAX_STR = 64
 
 _PRUNE_OPS = frozenset({"=", "<", "<=", ">", ">=", "in"})
 
+# ---------------------------------------------------------------------------
+# per-file key bloom filters (manifest-level point-lookup skipping)
+# ---------------------------------------------------------------------------
+# Min/max stats only prune point predicates on CLUSTERED data; on the
+# freshly-written CDC tail (arbitrary key order) every file's [min,max]
+# spans the key space and a lookup scans the whole bucket.  A small bloom
+# over each file's DISTINCT leading-pk values closes that gap: the filter
+# is built over distincts (hundreds per file), not rows, so it stays KB-
+# sized in the manifest; files whose distinct count exceeds the cap store
+# no bloom (absence only disables pruning, never correctness — same rule
+# as the min/max stats).  The Iceberg analog is the parquet bloom filter;
+# keeping it in the MANIFEST lets the DRIVER skip whole files before any
+# task launches.
+BLOOM_K = 6  # probes per key
+BLOOM_BITS_PER_KEY = 16  # m/n ratio -> ~1e-3 false-positive rate at k=6
+BLOOM_MAX_DISTINCT = 4096  # above this the bloom is omitted
+BLOOM_TYPES = frozenset({"string", "int", "long"})
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Deterministic double-hash basis for a key (PYTHONHASHSEED-proof)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    return h1, h2
+
+
+def bloom_build(values) -> dict | None:
+    """Bitmap over distinct key values -> manifest-storable dict, or None
+    when the distinct count exceeds the cap."""
+    import base64
+
+    vals = list(values)
+    if not vals or len(vals) > BLOOM_MAX_DISTINCT:
+        return None
+    m = 1
+    while m < len(vals) * BLOOM_BITS_PER_KEY:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for v in vals:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(BLOOM_K):
+            b = (h1 + i * h2) % m
+            bits[b >> 3] |= 1 << (b & 7)
+    return {"m": m, "k": BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def bloom_might_contain(bloom: dict, value) -> bool:
+    import base64
+
+    m, k = int(bloom["m"]), int(bloom["k"])
+    bits = base64.b64decode(bloom["b64"])
+    h1, h2 = _bloom_hashes(value)
+    for i in range(k):
+        b = (h1 + i * h2) % m
+        if not bits[b >> 3] & (1 << (b & 7)):
+            return False
+    return True
+
 
 def normalize_where(where) -> list[tuple[str, str, object]]:
     """Validate/normalize a ``where`` predicate list: ``[(col, op, value)]``
@@ -162,7 +224,20 @@ def entry_refutes(entry: dict, col: str, op: str, val) -> bool:
     ``col op val``.  Conservative: a missing stat / missing bound never
     refutes.  Bounds may be one-sided (string truncation drops the upper
     bound).  NULL rows never satisfy a comparison, so an all-NULL column
-    refutes every predicate on it."""
+    refutes every predicate on it.  Point predicates (=, in) additionally
+    consult the file's key bloom filter when one was captured for ``col``
+    — the pruner for unclustered data, where [min,max] can't help."""
+    bloom = entry.get("bloom")
+    if (
+        bloom is not None and bloom.get("col") == col
+        and op in ("=", "in") and val is not None
+    ):
+        keys = val if op == "in" else [val]
+        if keys and all(
+            k is not None and not bloom_might_contain(bloom, k)
+            for k in keys
+        ):
+            return True
     st = (entry.get("stats") or {}).get(col)
     if st is None and col == "_last_lsn" and entry.get("max_lsn") is not None:
         st = [None, entry["max_lsn"], 0]  # pre-stats manifests: top-level bound
@@ -1179,6 +1254,15 @@ class LakeTable:
             f.name for f in self.schema.fields if f.type in STATABLE_TYPES
         } | {"_last_lsn"}
         max_str = STATS_MAX_STR
+        # leading-pk bloom for point-lookup file skipping on unclustered
+        # data: built over the file's DISTINCT key values (bounded), read
+        # from the just-written (page-cache-warm) file — O(new data), and
+        # only the one key column
+        pk0 = self.pk[0]
+        bloom_col = pk0 if any(
+            f.name == pk0 and f.type in BLOOM_TYPES
+            for f in self.schema.fields
+        ) else None
 
         def _footer_stats(it):
             import math
@@ -1243,7 +1327,7 @@ class LakeTable:
                 return out
 
             for pdf in it:
-                rows, max_lsns, stats_json = [], [], []
+                rows, max_lsns, stats_json, bloom_json = [], [], [], []
                 for p in pdf["abs_path"]:
                     md = pq.ParquetFile(p).metadata
                     rows.append(md.num_rows)
@@ -1261,7 +1345,11 @@ class LakeTable:
                         st = md.row_group(g).column(idx).statistics
                         if st is None or not st.has_min_max:
                             # stats disabled: fall back to reading the column
-                            col = pq.read_table(p, columns=["_last_lsn"])
+                            # (single-threaded: concurrent workers, see the
+                            # bloom read below)
+                            col = pq.ParquetFile(p).read(
+                                columns=["_last_lsn"], use_threads=False
+                            )
                             vals = col.column(0).drop_null()
                             mx = (
                                 max(vals.to_pylist()) if len(vals) else None
@@ -1271,11 +1359,32 @@ class LakeTable:
                             mx = st.max if mx is None else max(mx, st.max)
                     max_lsns.append(mx)
                     stats_json.append(json.dumps(col_stats(md, name_to_idx)))
+                    bl = None
+                    if bloom_col is not None and bloom_col in name_to_idx:
+                        import pyarrow.compute as pc
+
+                        # single-threaded read: this runs inside N concurrent
+                        # Spark python workers — pyarrow's default per-read
+                        # thread pool (ncpu threads each) oversubscribes the
+                        # host N*ncpu ways and the "cheap" column read turns
+                        # into seconds of scheduler thrash (measured: ~13s on
+                        # a 64-file commit at 32 workers; <1s single-threaded)
+                        uniq = pc.unique(
+                            pq.ParquetFile(p).read(
+                                columns=[bloom_col], use_threads=False
+                            ).column(0)
+                        ).drop_null()
+                        if len(uniq) <= BLOOM_MAX_DISTINCT:
+                            bl = bloom_build(uniq.to_pylist())
+                            if bl is not None:
+                                bl["col"] = bloom_col
+                    bloom_json.append(json.dumps(bl) if bl else None)
                 yield pd.DataFrame(
                     {"rel_path": pdf["rel_path"], "bucket": pdf["bucket"],
                      "rows": rows,
                      "max_lsn": pd.array(max_lsns, dtype="Int64"),
-                     "stats_json": stats_json}
+                     "stats_json": stats_json,
+                     "bloom_json": bloom_json}
                 )
 
         # no repartition: createDataFrame already spreads the (tiny) path
@@ -1287,7 +1396,7 @@ class LakeTable:
         stats = paths_df.mapInPandas(
             _footer_stats,
             "rel_path string, bucket int, rows long, max_lsn long,"
-            " stats_json string",
+            " stats_json string, bloom_json string",
         ).collect()
         return [
             {
@@ -1299,6 +1408,10 @@ class LakeTable:
                 "rows": int(s["rows"]),
                 "max_lsn": int(s["max_lsn"]) if s["max_lsn"] is not None else None,
                 "stats": json.loads(s["stats_json"]),
+                **(
+                    {"bloom": json.loads(s["bloom_json"])}
+                    if s["bloom_json"] else {}
+                ),
             }
             for s in stats
         ]

@@ -419,3 +419,111 @@ def test_zorder_compaction_prunes_on_every_clustered_column(spark, tmp_path):
         )
         assert got == want
     assert zo.read(spark).count() == 4096
+
+
+# ---------------------------------------------------------------------------
+# per-file key bloom filters: point-lookup skipping on UNCLUSTERED data
+# ---------------------------------------------------------------------------
+def _unclustered_table(spark, tmp_path, n_rows=200, n_repos=20, per_file=25):
+    """One bucket, shuffled keys, bounded file cuts: every file's [min,max]
+    spans most of the key space — min/max stats cannot prune a point
+    predicate here; the bloom can."""
+    import random
+
+    from logicaldecoding_spark.table.format import bucket_expr
+
+    rng = random.Random(7)
+    rows = [(f"repo{i % n_repos:02d}", f"p{i}", "c", "py", "x", i + 1, i + 1)
+            for i in range(n_rows)]
+    rng.shuffle(rows)
+    t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA,
+                         n_buckets=1)
+    df = (spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, _last_lsn long, _last_txid long")
+        .withColumn("_bucket", bucket_expr(1)))
+    files = t.write_data_files(df, spark, max_rows_per_file=per_file)
+    t.commit_data(files, {0}, applied_upto_lsn=n_rows, batch_id=0)
+    return t
+
+
+def test_bloom_prunes_absent_key_to_zero_files(spark, tmp_path):
+    t = _unclustered_table(spark, tmp_path)
+    man = t.metadata()["snapshot"]["manifest"]
+    assert len(man) >= 4 and all("bloom" in m for m in man)
+    # min/max alone keeps every file (interleaved ranges)...
+    st = {m["stats"]["repo"][0] for m in man}
+    assert len(st) <= 3  # most files share the same min -> ranges overlap
+    # ...but the bloom proves an absent key touches nothing: no file read
+    none = t.read(spark, where=[("repo", "=", "no_such_repo")])
+    assert none.count() == 0
+    plan = none._jdf.queryExecution().executedPlan().toString().lower()
+    assert "parquet" not in plan
+    # and lookups of absent keys plan zero files too
+    assert t.lookup(spark, [("no_such_repo", "p1")]).count() == 0
+
+
+def test_bloom_never_refutes_a_present_key(spark, tmp_path):
+    """No false negatives by construction: every (key -> containing file)
+    pair must survive the pruner (pinned over all keys and files)."""
+    t = _unclustered_table(spark, tmp_path)
+    man = t.metadata()["snapshot"]["manifest"]
+    for i in range(20):
+        key = f"repo{i:02d}"
+        got = t.read(spark, where=[("repo", "=", key)]).count()
+        assert got == 10  # 200 rows / 20 repos, exact through the pruner
+    # in-list: only files containing NEITHER key are refuted
+    got = t.read(
+        spark, where=[("repo", "in", ["repo03", "no_such"])]).count()
+    assert got == 10
+
+
+def test_bloom_respects_rename_physical_name(spark, tmp_path):
+    t = _unclustered_table(spark, tmp_path)
+    t.evolve_schema("rename_column", "repo", "repository", None)
+    assert t.read(
+        spark, where=[("repository", "=", "repo03")]).count() == 10
+    none = t.read(spark, where=[("repository", "=", "nope")])
+    assert none.count() == 0
+    plan = none._jdf.queryExecution().executedPlan().toString().lower()
+    assert "parquet" not in plan
+
+
+def test_bloom_mor_component_safety(spark, tmp_path):
+    """A delta superseding a key must not let the base file prune alone:
+    the component rule keeps base+delta together unless the WHOLE component
+    refutes."""
+    t = _unclustered_table(spark, tmp_path)
+    merge_into(
+        spark, t,
+        _compacted(spark, [("repo03", "p3", "c9", "rs", "upd", "U",
+                            1000, 0, 9)]),
+        applied_upto_lsn=1000, batch_id=1, mode="mor",
+    )
+    rows = t.read(spark, where=[("repo", "=", "repo03")]).collect()
+    assert len(rows) == 10
+    upd = [r for r in rows if r["path"] == "p3"]
+    assert upd and upd[0]["lang"] == "rs"  # the delta won through the pruner
+
+
+def test_bloom_omitted_above_distinct_cap(spark, tmp_path):
+    from logicaldecoding_spark.table.format import (
+        BLOOM_MAX_DISTINCT, bucket_expr,
+    )
+
+    n = BLOOM_MAX_DISTINCT + 100
+    rows = [(f"repo{i:02d}", f"p{i}", "c", "py", "x", i + 1, i + 1)
+            for i in range(n)]
+    t = LakeTable.create(str(tmp_path / "t"), REPOS_INITIAL_SCHEMA,
+                         n_buckets=1)
+    df = (spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+        " content string, _last_lsn long, _last_txid long")
+        .coalesce(1)  # ONE file -> its distinct count exceeds the cap
+        .withColumn("_bucket", bucket_expr(1)))
+    t.commit_data(t.write_data_files(df, spark), {0},
+                  applied_upto_lsn=n, batch_id=0)
+    man = t.metadata()["snapshot"]["manifest"]
+    assert len(man) == 1
+    assert all("bloom" not in m for m in man)  # absent, never wrong
+    assert t.read(spark, where=[("repo", "=", "repo01")]).count() == 1

@@ -234,6 +234,15 @@ def main() -> None:
     from logicaldecoding_spark.table.format import LakeTable
 
     lk_table = LakeTable.load(table_path)
+    # bloom skipping on the UNCOMPACTED table (r5): a lookup of an absent
+    # key must plan zero files — min/max can't prune the unsorted tail, the
+    # per-file key blooms can
+    t0 = time.time()
+    absent = lk_table.lookup(spark, [("no_such_repo", "no_such_path")])
+    absent_rows = absent.count()
+    bloom_lookup_wall = time.time() - t0
+    bloom_lookup_files = len(set(absent.inputFiles()))
+    assert absent_rows == 0
     n_live = lk_table.read(spark).count()
     lk_table.compact(
         spark, sort_by=lk_table.pk,
@@ -288,6 +297,8 @@ def main() -> None:
         "proto_events_per_sec": round(pb_eps, 1),
         "lookup_wall": round(lookup_wall, 3),
         "lookup_files_read": lookup_files,
+        "bloom_lookup_wall": round(bloom_lookup_wall, 3),
+        "bloom_lookup_files_read": bloom_lookup_files,
         "table_files": table_files,
         "log_rows": stats["rows"],
         "parse_mode": parse_mode,

@@ -48,6 +48,7 @@ metadata no-op.
 
 from __future__ import annotations
 
+import functools
 import json
 import os.path
 import time
@@ -156,6 +157,9 @@ _PRUNE_OPS = frozenset({"=", "<", "<=", ">", ">=", "in"})
 BLOOM_K = 6  # probes per key
 BLOOM_BITS_PER_KEY = 16  # m/n ratio -> ~1e-3 false-positive rate at k=6
 BLOOM_MAX_DISTINCT = 4096  # above this the bloom is omitted
+# in-lists longer than this skip bloom probing (driver cost bound: probes
+# are O(keys * entries); min/max refutation stays available at any size)
+BLOOM_PROBE_MAX_KEYS = 256
 BLOOM_TYPES = frozenset({"string", "int", "long"})
 
 
@@ -167,6 +171,12 @@ def _bloom_hashes(value) -> tuple[int, int]:
     h1 = int.from_bytes(d[:8], "little")
     h2 = int.from_bytes(d[8:16], "little") | 1
     return h1, h2
+
+
+@functools.lru_cache(maxsize=65536)
+def _bloom_hashes_cached(s: str) -> tuple[int, int]:
+    """Keys re-hash across every probed manifest entry; memoize."""
+    return _bloom_hashes(s)
 
 
 def bloom_build(values) -> dict | None:
@@ -233,11 +243,33 @@ def entry_refutes(entry: dict, col: str, op: str, val) -> bool:
         and op in ("=", "in") and val is not None
     ):
         keys = val if op == "in" else [val]
-        if keys and all(
-            k is not None and not bloom_might_contain(bloom, k)
-            for k in keys
+        # cost bound: the bitmap decodes ONCE per entry, key hashes are
+        # memoized across entries (a 10k-key lookup hashes each key once
+        # for the whole manifest); above the probe cap the bloom abstains
+        # and min/max — always two comparisons — carries the pruning
+        if 0 < len(keys) <= BLOOM_PROBE_MAX_KEYS and all(
+            k is not None for k in keys
         ):
-            return True
+            import base64
+
+            m, k_ = int(bloom["m"]), int(bloom["k"])
+            bits = base64.b64decode(bloom["b64"])
+            if all(
+                any(
+                    not bits[b >> 3] & (1 << (b & 7))
+                    for b in (
+                        (h1 + i * h2) % m
+                        for h1, h2 in (_bloom_hashes_cached(str(key)),)
+                        for i in range(k_)
+                    )
+                )
+                for key in keys
+            ):
+                return True
+    return _stats_refute(entry, col, op, val)
+
+
+def _stats_refute(entry: dict, col: str, op: str, val) -> bool:
     st = (entry.get("stats") or {}).get(col)
     if st is None and col == "_last_lsn" and entry.get("max_lsn") is not None:
         st = [None, entry["max_lsn"], 0]  # pre-stats manifests: top-level bound
@@ -249,7 +281,7 @@ def entry_refutes(entry: dict, col: str, op: str, val) -> bool:
         return bool(rows and nulls is not None and nulls >= rows)
     try:
         if op == "in":
-            return all(entry_refutes(entry, col, "=", v) for v in val)
+            return all(_stats_refute(entry, col, "=", v) for v in val)
         if val is None:
             return False  # NULL comparisons match nothing; let Spark fold it
         if op == "=":
@@ -826,6 +858,7 @@ class LakeTable:
         with_bucket_col: bool = False,
         where: list[tuple] | None = None,
         _meta_override: dict | None = None,
+        prune_where: list[tuple] | None = None,
     ) -> DataFrame:
         """Current-snapshot scan, schema-reconciled to the current schema.
 
@@ -854,6 +887,14 @@ class LakeTable:
         meta = _meta_override if _meta_override is not None else self.metadata()
         current = TableSchema.from_json(meta["schema"])
         manifest = meta["snapshot"]["manifest"]
+        # ``prune_where`` = file skipping WITHOUT the residual filter: the
+        # result is a SUPERSET (like ``buckets``), for key-exact consumers
+        # (lookup's semi-join) that want arbitrary-size in-lists to prune
+        # the manifest without bloating the scan plan with the literals
+        if where and prune_where:
+            raise ValueError("pass where or prune_where, not both")
+        residual = bool(where)
+        where = where or prune_where
         preds: list[tuple[str, str, object]] = []
         if where:
             preds = normalize_where(where)
@@ -998,7 +1039,7 @@ class LakeTable:
             df = pure_df
         else:
             df = pure_df.unionByName(rec_df)
-        for c, op, v in preds:  # residual filter: result is exact
+        for c, op, v in preds if residual else ():  # residual: exact result
             col = F.col(c)
             df = df.filter(
                 col.isin(v) if op == "in"
@@ -1617,19 +1658,24 @@ class LakeTable:
                 bucket_expr(self.n_buckets, tuple(pk)).alias("_b")
             ).distinct().collect()
         )
-        # stats-based file skipping within the wanted buckets: on a
-        # sort-clustered table (compact(sort_by=pk)) this prunes to ~1 file
-        # per bucket.  Few keys -> exact in-list refutation; many keys -> a
-        # range probe (an in-list of 10k literals bloats the plan for no
-        # extra pruning power over the stats' min/max granularity).
+        # stats/bloom file skipping within the wanted buckets, PRUNE-ONLY:
+        # the trailing semi-join makes the result exact, so the in-list
+        # never has to become a residual .filter — which is what used to cap
+        # it at 64 literals (plan bloat).  Manifest refutation is driver-
+        # side and cheap, so the FULL key list prunes: on a sort-clustered
+        # table min/max cuts to ~1 file per bucket, and on the unclustered
+        # tail the per-file key blooms drop every file containing none of
+        # the wanted keys.  Beyond the cap a range probe still helps the
+        # clustered case (blooms can't evaluate 100k probes per file
+        # cheaply; min/max can always evaluate two).
         k0 = sorted({k[0] for k in keys if k and k[0] is not None})
         if not k0:
             where = None
-        elif len(k0) <= 64:
+        elif len(k0) <= 10_000:
             where = [(pk[0], "in", k0)]
         else:
             where = [(pk[0], ">=", k0[0]), (pk[0], "<=", k0[-1])]
-        scan = self.read(spark, buckets=want, where=where)
+        scan = self.read(spark, buckets=want, prune_where=where)
         return scan.join(F.broadcast(key_df), on=pk, how="left_semi")
 
     def retrieve(self, spark: SparkSession, key: tuple):

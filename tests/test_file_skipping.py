@@ -527,3 +527,20 @@ def test_bloom_omitted_above_distinct_cap(spark, tmp_path):
     assert len(man) == 1
     assert all("bloom" not in m for m in man)  # absent, never wrong
     assert t.read(spark, where=[("repo", "=", "repo01")]).count() == 1
+
+
+def test_lookup_prunes_with_large_key_list_without_plan_literals(spark, tmp_path):
+    """lookup's in-list is PRUNE-ONLY (the semi-join makes results exact),
+    so it is no longer capped at 64 literals: a 200-key lookup prunes via
+    stats+blooms and the scan plan carries no giant isin."""
+    t = _unclustered_table(spark, tmp_path, n_rows=400, n_repos=40,
+                           per_file=50)
+    keys = [(f"repo{i % 40:02d}", f"p{i}") for i in range(0, 400, 2)]
+    got = t.lookup(spark, keys)
+    assert got.count() == 200
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "repo07" not in plan  # key literals prune the manifest, not the plan
+    # all-absent keys at >64 list size: bloom refutes every file
+    absent = t.lookup(spark, [(f"zz{i}", "p") for i in range(100)])
+    assert absent.count() == 0
+    assert len(set(absent.inputFiles())) == 0

@@ -65,3 +65,32 @@ def test_seed_determinism(tmp_path):
     ta, tb, tc = (pq.read_table(p) for p in (a, b, c))
     assert ta.equals(tb)
     assert not ta.equals(tc)
+
+
+@given(
+    keys=st.lists(
+        st.one_of(st.text(min_size=0, max_size=40), st.integers()),
+        min_size=1, max_size=300, unique=True,
+    ),
+    probes=st.lists(st.text(min_size=1, max_size=40), max_size=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_has_no_false_negatives(keys, probes):
+    """Every built key must be reported possibly-present (the property the
+    file-skipping guarantee rests on); absent probes are allowed to be
+    false positives but at the designed ~1e-3 rate they must not dominate."""
+    from logicaldecoding_spark.table.format import (
+        bloom_build, bloom_might_contain,
+    )
+
+    bloom = bloom_build(keys)
+    assert bloom is not None
+    for k in keys:
+        assert bloom_might_contain(bloom, k)
+    # canonicalization: int 5 and "5" collide by design (str rendering)
+    present = {str(k) for k in keys}
+    fp = sum(
+        1 for p in probes if str(p) not in present
+        and bloom_might_contain(bloom, p)
+    )
+    assert fp <= max(2, len(probes) // 4)  # loose statistical bound

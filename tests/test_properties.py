@@ -72,13 +72,13 @@ def test_seed_determinism(tmp_path):
         st.one_of(st.text(min_size=0, max_size=40), st.integers()),
         min_size=1, max_size=300, unique=True,
     ),
-    probes=st.lists(st.text(min_size=1, max_size=40), max_size=50),
 )
 @settings(max_examples=200, deadline=None)
-def test_bloom_has_no_false_negatives(keys, probes):
-    """Every built key must be reported possibly-present (the property the
-    file-skipping guarantee rests on); absent probes are allowed to be
-    false positives but at the designed ~1e-3 rate they must not dominate."""
+def test_bloom_has_no_false_negatives(keys):
+    """Every built key must be reported possibly-present — the property
+    the file-skipping guarantee rests on.  (False-positive RATE is a
+    statistical claim; hypothesis shrinks adversarially toward colliding
+    probes, so it is pinned in the fixed-seed test below instead.)"""
     from logicaldecoding_spark.table.format import (
         bloom_build, bloom_might_contain,
     )
@@ -87,10 +87,19 @@ def test_bloom_has_no_false_negatives(keys, probes):
     assert bloom is not None
     for k in keys:
         assert bloom_might_contain(bloom, k)
-    # canonicalization: int 5 and "5" collide by design (str rendering)
-    present = {str(k) for k in keys}
-    fp = sum(
-        1 for p in probes if str(p) not in present
-        and bloom_might_contain(bloom, p)
+
+
+def test_bloom_false_positive_rate_at_design_point():
+    """At the designed m/n=16, k=6 the FP rate is ~1e-3; a fixed-seed
+    10k-probe sample must stay well under 1%."""
+    from logicaldecoding_spark.table.format import (
+        bloom_build, bloom_might_contain,
     )
-    assert fp <= max(2, len(probes) // 4)  # loose statistical bound
+
+    keys = [f"key-{i:05d}" for i in range(2000)]
+    bloom = bloom_build(keys)
+    fp = sum(
+        1 for i in range(10_000)
+        if bloom_might_contain(bloom, f"absent-{i:05d}")
+    )
+    assert fp < 100, fp  # <1% observed; design point is ~0.1%

@@ -251,6 +251,61 @@ def _q_j1_keyed_merge(spark, sf):  # J1: keyed lookup-and-merge (MERGE shape)
 # the ENGINE, not just the operator shapes.
 # ---------------------------------------------------------------------------
 _LAKE_CACHE: dict[str, tuple] = {}
+_SEQ_CACHE: dict[str, tuple] = {}
+
+
+def _stamped_events(spark, sf):
+    """(seq, n): the events stream with ``lsn = row_number() OVER (ORDER BY
+    ts, event_id)`` and ``txid = event_id`` — the stamp every lake builder
+    here uses — computed SCALABLY instead of through a single-partition
+    window (the ``WindowExec: No Partition Defined`` shape, r5 verdict ask
+    #3, which sorts the whole stream in one task).
+
+    Equivalent-by-construction plan: range-repartition by the order key and
+    sort within partitions (disjoint, ordered key ranges per partition),
+    then ``monotonically_increasing_id`` yields (partition_id << 33 | row
+    ordinal); one tiny per-partition count aggregate gives each partition's
+    global offset, so ``offset[pid] + ordinal + 1`` IS the global row
+    number.  The ranged frame is persisted before the count so both jobs
+    see one materialization (range-sampling boundaries are otherwise free
+    to differ between jobs).  The count doubles as the n=count(*) the
+    callers all need, saving their separate count job."""
+    if sf in _SEQ_CACHE:
+        return _SEQ_CACHE[sf]
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    base = (
+        ev.repartitionByRange(nparts, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftright("_mid", 33)
+    counts = sorted(
+        base.groupBy(pid.alias("_pid")).agg(F.count("*").alias("_n"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    n = sum(r["_n"] for r in counts)
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["_n"]
+    off_df = spark.createDataFrame(offsets, "_pid long, _off long")
+    seq = (
+        base.withColumn("_pid", pid)
+        .join(F.broadcast(off_df), "_pid")
+        .select(
+            "user_id", "event_type", "value",
+            (F.col("_off") + F.col("_mid").bitwiseAND((1 << 33) - 1) + 1)
+            .alias("lsn"),
+            F.col("event_id").alias("txid"),
+        )
+    )
+    _SEQ_CACHE[sf] = (seq, n)
+    return _SEQ_CACHE[sf]
 
 
 def _events_lake(spark, sf):
@@ -265,14 +320,8 @@ def _events_lake(spark, sf):
     from logicaldecoding_spark.schema import TableSchema
     from logicaldecoding_spark.table.format import LakeTable
 
-    ev = _t(spark, sf, "events")
-    n = ev.count()
+    seq, n = _stamped_events(spark, sf)
     cut = n // 2
-    seq = ev.select(
-        "user_id", "event_type", "value",
-        F.row_number().over(W.orderBy("ts", "event_id")).alias("lsn"),
-        F.col("event_id").alias("txid"),
-    )
     schema = TableSchema.initial(
         [("user_id", "long", False), ("event_type", "string", True),
          ("value", "double", True)]
@@ -411,14 +460,8 @@ def _q_lake_branch_publish(spark, sf):
         from logicaldecoding_spark.schema import TableSchema
         from logicaldecoding_spark.table.format import LakeTable
 
-        ev = _t(spark, sf, "events")
-        n = ev.count()
+        seq, n = _stamped_events(spark, sf)
         cut = n // 2
-        seq = ev.select(
-            "user_id", "event_type", "value",
-            F.row_number().over(W.orderBy("ts", "event_id")).alias("lsn"),
-            F.col("event_id").alias("txid"),
-        )
         schema = TableSchema.initial(
             [("user_id", "long", False), ("event_type", "string", True),
              ("value", "double", True)]
@@ -470,12 +513,7 @@ def _q_lake_zorder_scan(spark, sf):
         from logicaldecoding_spark.schema import TableSchema
         from logicaldecoding_spark.table.format import LakeTable
 
-        ev = _t(spark, sf, "events")
-        seq = ev.select(
-            "user_id", "event_type", "value",
-            F.row_number().over(W.orderBy("ts", "event_id")).alias("lsn"),
-            F.col("event_id").alias("txid"),
-        )
+        seq, _n = _stamped_events(spark, sf)
         schema = TableSchema.initial(
             [("user_id", "long", False), ("event_type", "string", True),
              ("value", "double", True)]

@@ -674,6 +674,12 @@ def replay(
         "wall_secs": round(wall, 3),
         "batches": metrics,
     }
+    if parse_mode == "proto":
+        # decoder provenance (r5 verdict ask #1b): a silent compiler
+        # fallback to the pure-Python codec must be visible in the record
+        from ..sources.proto import active_decoder
+
+        run["proto_decoder"] = active_decoder()
     # per-run metrics log (lineage/observability, north_rule)
     mdir = os.path.join(table_path, "_metrics")
     os.makedirs(mdir, exist_ok=True)

@@ -346,7 +346,13 @@ def _events_lake(spark, sf):
                 "lsn", F.col("_e.txid").alias("txid"),
             )
         )
-        merge_into(spark, t, comp, applied_upto_lsn=hi, batch_id=bid)
+        # touched = all buckets, known a priori: the compacted set is a
+        # whole-stream per-user aggregate (users >> buckets), so the
+        # discover pass (persist + distinct collect, one Spark job per
+        # merge) would always answer "every bucket"; a superset is safe —
+        # COW's full-outer join passes untouched target rows through
+        merge_into(spark, t, comp, applied_upto_lsn=hi, batch_id=bid,
+                   touched=list(range(t.n_buckets)))
         if bid == 0:
             v_mid = t.version
     _LAKE_CACHE[sf] = (t, cut, v_mid)
@@ -484,9 +490,12 @@ def _q_lake_branch_publish(spark, sf):
                         F.col("_e.txid").alias("txid"))
             )
 
-        merge_into(spark, t, comp(0, cut), applied_upto_lsn=cut, batch_id=0)
+        # touched known a priori (see _events_lake): skip the discover job
+        merge_into(spark, t, comp(0, cut), applied_upto_lsn=cut, batch_id=0,
+                   touched=list(range(t.n_buckets)))
         b = t.create_branch("stage")
-        merge_into(spark, b, comp(cut, n), applied_upto_lsn=n, batch_id=1)
+        merge_into(spark, b, comp(cut, n), applied_upto_lsn=n, batch_id=1,
+                   touched=list(range(t.n_buckets)))
         assert t.applied_upto_lsn == cut  # audit: main untouched by staging
         t.publish("stage")
         _WAP_CACHE[sf] = t
@@ -531,7 +540,9 @@ def _q_lake_zorder_scan(spark, sf):
                     F.lit("U").alias("op"), "lsn",
                     F.col("_e.txid").alias("txid"))
         )
-        merge_into(spark, t, comp, applied_upto_lsn=10**9, batch_id=0)
+        # touched known a priori (see _events_lake): skip the discover job
+        merge_into(spark, t, comp, applied_upto_lsn=10**9, batch_id=0,
+                   touched=list(range(t.n_buckets)))
         t.compact(spark, sort_by=("user_id", "value"),
                   max_rows_per_file=500, cluster="zorder")
         _ZLAKE_CACHE[sf] = t

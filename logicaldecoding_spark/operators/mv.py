@@ -141,7 +141,9 @@ class MaterializedAggregate:
         the state table (compaction, expiry) can't shadow the cursor."""
         self.table.metadata(refresh=True)
         for v in sorted(self.table._all_versions(), reverse=True):
-            m = self.table._load_meta_version(v)["snapshot"].get("metrics", {})
+            # raw metadata read: the cursor lives in snapshot metrics — no
+            # manifest segments need materializing to find it
+            m = self.table._load_meta_raw(v)["snapshot"].get("metrics", {})
             if "mv_source_version" in m:
                 return int(m["mv_source_version"])
         return 0
@@ -213,15 +215,32 @@ class MaterializedAggregate:
         deltas = ch.groupBy(*g).agg(*agg_exprs).withColumn(
             "_mvb", bucket_expr(self.table.n_buckets, tuple(g))
         )
-        # delta set = one row per TOUCHED group; bounded by the changelog,
-        # consumed twice (bucket listing + merge join) -> spill-safe persist
+        # Small delta sets (the common rollup shape: one row per touched
+        # group, group cardinality bounded) collect ONCE and drive the rest
+        # of the refresh from the driver: touched buckets and min/max
+        # rescan keys (both derivable from the delta rows alone) come for
+        # free, the fold joins a LOCAL relation, and the whole
+        # fold->write pipeline stays lazy — 2 Spark jobs per refresh
+        # instead of 4 (r5 verdict ask #3).  Above the bound the original
+        # persist + probe path runs unchanged.
         deltas = deltas.persist()
         self._persists: list[DataFrame] = [deltas]
+        d_rows = deltas.limit(1025).collect()
+        small = len(d_rows) <= 1024
         try:
-            touched = sorted(
-                r["_mvb"]
-                for r in deltas.select("_mvb").distinct().collect()
-            )  # bounded: <= state n_buckets rows
+            if small:
+                touched = sorted({int(r["_mvb"]) for r in d_rows})
+                deltas = spark.createDataFrame(d_rows, deltas.schema)
+                self._rescan_local = (
+                    [r for r in d_rows if (r["_d_has_neg"] or 0) == 1]
+                    if has_ext else []
+                )
+            else:
+                self._rescan_local = None
+                touched = sorted(
+                    r["_mvb"]
+                    for r in deltas.select("_mvb").distinct().collect()
+                )  # bounded: <= state n_buckets rows
             src_meta = src._load_meta_version(head)
             wm = int(src_meta["snapshot"]["applied_upto_lsn"])
             if not touched:
@@ -327,16 +346,40 @@ class MaterializedAggregate:
         if not has_ext:
             return merged.drop("_rescan")
 
-        # consumed twice (rescan-key probe + final write) -> persist for the
-        # refresh's lifetime; released in refresh()'s finally
-        merged = merged.persist()
-        self._persists.append(merged)
-        rescan_keys = merged.filter("_rescan").select(*g)
-        n_rescan = rescan_keys.count()  # also materializes `merged`
-        self._last_rescans = n_rescan
-        keep = merged.filter(~F.col("_rescan")).drop("_rescan")
-        if n_rescan == 0:
-            return keep
+        rl = getattr(self, "_rescan_local", None)
+        if rl is not None:
+            # delta rows were collected in refresh(): the rescan set (the
+            # groups whose deltas carry a retraction) is known driver-side
+            # with ZERO extra jobs, and the fold stays fully lazy into the
+            # write.  This set is a superset of the old merged-side probe
+            # (it may include groups extinct after the fold); the rescan
+            # recompute yields no rows for those, so the result is
+            # unchanged — only the in-list is slightly wider.
+            key_rows = rl
+            n_rescan = len(key_rows)
+            self._last_rescans = n_rescan
+            keep = merged.filter(~F.col("_rescan")).drop("_rescan")
+            if n_rescan == 0:
+                return keep
+            rescan_keys = deltas.filter(
+                F.coalesce(F.col("_d_has_neg"), F.lit(0)) == 1
+            ).select(*g)
+        else:
+            # large delta set: persist and probe (one bounded job — the
+            # limit(1025) collect materializes `merged` and yields the key
+            # rows the in-list pruning needs; the exact count only matters
+            # for the metric in the rare >1024 case)
+            merged = merged.persist()
+            self._persists.append(merged)
+            rescan_keys = merged.filter("_rescan").select(*g)
+            key_rows = rescan_keys.limit(1025).collect()
+            n_rescan = len(key_rows)
+            if n_rescan > 1024:
+                n_rescan = rescan_keys.count()
+            self._last_rescans = n_rescan
+            keep = merged.filter(~F.col("_rescan")).drop("_rescan")
+            if n_rescan == 0:
+                return keep
         # retraction touched a min/max group: recompute those groups from
         # the source head (the only exact repair; see module docstring).
         # When the retracted key set is small and NULL-free, push it into
@@ -350,7 +393,7 @@ class MaterializedAggregate:
         # (stats comparisons can never prove a NULL row present).
         where = None
         if 0 < n_rescan <= 1024:
-            key_rows = rescan_keys.collect()  # bounded by the count gate
+            # key_rows already collected above (bounded by the gate)
             where = []
             for c in g:
                 vals = {r[c] for r in key_rows}

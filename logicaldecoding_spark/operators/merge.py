@@ -134,11 +134,30 @@ def merge_into(
                                **(extra_metrics or {})})
             return {"rows_written": 0, "buckets": 0, "secs": time.time() - t0}
 
-        target = table.read(spark, buckets=touched)
+        # ONE wide shuffle, not two (guide §2.4): both sides repartition by
+        # _bucket, and the join keys are (_bucket, *pk) — _bucket is a pure
+        # function of pk computed identically on both sides, so the match
+        # pairs are unchanged, while HashPartitioning(_bucket) satisfies the
+        # join's clustering requirement and the OUTPUT stays partitioned by
+        # _bucket: the old plan's second full-width exchange (repartition
+        # of the merged result for the bucket-partitioned write) disappears.
+        n_parts = max(len(touched), 1)
+        # subset co-partitioning must be accepted for the shared exchange
+        # to survive: with the default (true), EnsureRequirements rewrites
+        # the _bucket repartition into a full-join-key shuffle at
+        # spark.sql.shuffle.partitions, which both re-adds the exchange
+        # this plan removes AND sprays each bucket over every task
+        # (measured: 428 files for a 64-bucket commit).  Relaxing it is
+        # safe: hash co-partitioning on a common key subset is always
+        # correct for an equi-join.
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false"
+        )
+        target = table.read(spark, buckets=touched, with_bucket_col=True)
 
-        s = changes.alias("s")
-        t = target.alias("t")
-        joined = t.join(s, on=pk, how="full_outer")
+        s = changes.repartition(n_parts, "_bucket").alias("s")
+        t = target.repartition(n_parts, "_bucket").alias("t")
+        joined = t.join(s, on=["_bucket", *pk], how="full_outer")
 
         take_source = F.col("s.lsn").isNotNull() & (
             F.col("t._last_lsn").isNull() | (F.col("s.lsn") > F.col("t._last_lsn"))
@@ -161,13 +180,10 @@ def merge_into(
             .otherwise(F.col("t._last_txid")).alias("_last_txid")
         )
 
-        result = (
-            joined.filter(keep)
-            .select(*out_cols)
-            .withColumn("_bucket", bucket_expr(n_buckets, tuple(pk)))
-            # one write task per touched bucket: bounded file count, COW-friendly
-            .repartition(max(len(touched), 1), "_bucket")
-        )
+        # the coalesced _bucket join key rides through: the write consumes
+        # the join's own partitioning (one/few whole buckets per task —
+        # bounded file count), no extra exchange
+        result = joined.filter(keep).select(*out_cols, F.col("_bucket"))
 
         t2 = time.time()
         new_files = table.write_data_files(result, spark)

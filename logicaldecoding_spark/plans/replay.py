@@ -557,7 +557,14 @@ def replay(
     # 'auto': same contention profile as parse_mode — duckdb's yyjson wins
     # per-core up to ~16 concurrent workers, pyarrow scales better past that
     slim_mode: str = "auto",
-    direct_slim_scan: bool = False,
+    # 'auto' (default): use the fragment-direct slim scan (Python workers
+    # read the log's parquet row groups themselves — the JVM never ships
+    # payload bytes over Arrow IPC, guide-§4 column-boundary rule) for
+    # JSON-payload file logs, where it was measured 20-25% faster than the
+    # mapInArrow slim pass at every bench SF (sf1.0: stats phase 11.6s ->
+    # 9.1s); sidecar logs read their own columns and proto logs decode
+    # wire bytes, so both keep their existing paths.  True/False force it.
+    direct_slim_scan: bool | str = "auto",
     resume: bool = False,
     create: bool = True,
     stop_after_batches: int | None = None,  # crash-injection hook for tests
@@ -619,6 +626,23 @@ def replay(
         # cores on the 30M-event log: slim duckdb 9.4s vs arrow 17.1s;
         # whole replay 30.7s vs 33.8s) — duckdb wins at every core count
         slim_mode = "sidecar" if parse_mode == "sidecar" else "duckdb"
+    if direct_slim_scan == "auto":
+        # JSON wire only (sidecar reads its own columns, proto decodes wire
+        # bytes), and only when there are enough row-group fragments to
+        # amortize the per-task setup (duckdb connection + parquet open)
+        # and fill the task waves: measured at 32 cores, the direct scan
+        # wins at 505 fragments (sf1.0: slim stats 11.6s -> 9.1s) and
+        # loses at 51 (sf0.1: 1.6 task waves, bad tail).  The bound scales
+        # with the session's core count, not a fixed size.
+        direct_slim_scan = False
+        if parse_mode not in ("sidecar", "proto"):
+            from ..sources.wal_log import log_fragments
+
+            try:
+                n_frags = len(log_fragments(log_path, None, None))
+            except OSError:
+                n_frags = 0
+            direct_slim_scan = n_frags >= 4 * cores
     if parse_mode == "proto":
         # protobuf-wire log: every parse stage decodes RowMessage bytes
         slim_mode = "proto"

@@ -463,15 +463,18 @@ def decode_batch_native(so_path: str, payload, lsn=None,
 
     def _maps(counts, keys, vals):
         ends = np.cumsum(counts, dtype=np.int64)
-        starts = np.concatenate(([0], ends[:-1])) if len(ends) else ends
         # null map when a message carried no datums of this side (the
         # python codec's `new or None` rule); pyarrow's convention: a None
-        # at offsets[j] nulls element j, the FINAL offset must be non-null
-        offs = [
-            None if counts[j] == 0 else int(starts[j])
-            for j in range(len(counts))
-        ]
-        offs.append(int(ends[-1]) if len(ends) else 0)
+        # at offsets[j] nulls element j, the FINAL offset must be non-null.
+        # Built as one masked int32 array — the per-row Python list this
+        # replaces was 80%+ of the whole assembly wall (r6 microbench).
+        offs_np = np.empty(len(counts) + 1, dtype=np.int32)
+        offs_np[0] = 0
+        offs_np[1:] = ends
+        mask = np.empty(len(counts) + 1, dtype=bool)
+        np.equal(counts, 0, out=mask[:-1])
+        mask[-1] = False  # final offset must be non-null
+        offs = pa.array(offs_np, pa.int32(), mask=mask)
         return pa.MapArray.from_arrays(offs, keys, vals)
 
     new_maps = old_maps = None

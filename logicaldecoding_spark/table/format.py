@@ -348,6 +348,16 @@ def _stats_refute(entry: dict, col: str, op: str, val) -> bool:
     return False
 
 
+# driver-side pruning is per-entry Python (dict lookups + comparisons;
+# bloom probes additionally base64-decode each probed entry's bitmap):
+# measured ~1-3 us/entry stats-only and ~10-30 us/entry with bloom probes,
+# i.e. fine to ~10^5 entries and a noticeable driver stall at 10^6+.  Past
+# this ceiling a loud warning names the cost; decisions are unchanged
+# (correctness never depends on pruning).  A table with that many live
+# manifest entries needs compaction/expiry far more than a faster pruner.
+PRUNE_ENTRIES_WARN = 100_000
+
+
 def prune_manifest_entries(
     manifest: list[dict],
     refuted,
@@ -366,6 +376,16 @@ def prune_manifest_entries(
     congruent mod the smallest spec — the coarse class is a superset of the
     true component, which only makes pruning LESS aggressive, never unsafe.
     """
+    if len(manifest) > PRUNE_ENTRIES_WARN:
+        import warnings
+
+        warnings.warn(
+            f"driver-side manifest pruning over {len(manifest)} entries "
+            f"(> {PRUNE_ENTRIES_WARN}): expect a multi-second driver stall "
+            "— compact the table / expire snapshots to shrink the live "
+            "manifest (pruning decisions are unaffected)",
+            stacklevel=2,
+        )
     pure, reconcile = split_manifest_for_read(manifest, spec_sizes)
     kept = [m for m in pure if not refuted(m)]
     if reconcile:

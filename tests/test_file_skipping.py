@@ -544,3 +544,28 @@ def test_lookup_prunes_with_large_key_list_without_plan_literals(spark, tmp_path
     absent = t.lookup(spark, [(f"zz{i}", "p") for i in range(100)])
     assert absent.count() == 0
     assert len(set(absent.inputFiles())) == 0
+
+
+def test_prune_warns_past_entry_ceiling(monkeypatch):
+    """Past the documented ceiling the driver-side pruner WARNS loudly
+    (r6: per-entry Python cost is fine to ~1e5 entries, a stall beyond)
+    while returning the identical pruning decisions."""
+    import pytest
+
+    import logicaldecoding_spark.table.format as fmt
+
+    manifest = [
+        {"path": f"f{i}", "bucket": i % 4, "spec_id": 0, "schema_id": 0,
+         "rows": 10, "stats": {"x": [i * 10, i * 10 + 9, 0]}}
+        for i in range(200)
+    ]
+
+    def refuted(m):
+        return fmt.entry_refutes(m, "x", "=", 55)
+
+    kept_quiet = fmt.prune_manifest_entries(manifest, refuted, {0: 4})
+    monkeypatch.setattr(fmt, "PRUNE_ENTRIES_WARN", 100)
+    with pytest.warns(UserWarning, match="manifest pruning over 200"):
+        kept_loud = fmt.prune_manifest_entries(manifest, refuted, {0: 4})
+    assert kept_loud == kept_quiet
+    assert [m["path"] for m in kept_loud] == ["f5"]

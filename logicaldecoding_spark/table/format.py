@@ -1618,7 +1618,7 @@ class LakeTable:
     def _zorder_column(self, df: DataFrame, cols: tuple[str, ...],
                        bits: int = 6, seed: int = 42) -> Column:
         """Z-order (Morton) key over ``cols``: per-column quantile rank
-        (``2**bits`` ranks from a bounded, seeded sample) with the rank bits
+        (``2**bits`` ranks from a bounded value sample) with the rank bits
         interleaved, so sorting by the key clusters EVERY listed column at
         once — after a bounded-size file rewrite, manifest min/max stats
         prune predicates on ANY of the columns, not just the leading one
@@ -1637,10 +1637,17 @@ class LakeTable:
             is_str = dtypes[c] == "string"
             probe = F.substring(F.col(c), 1, STATS_MAX_STR) if is_str \
                 else F.col(c)
+            # boundary sample: all values up to the cap (exact quantiles
+            # for small/medium columns — deterministic regardless of row
+            # order or upstream plan shape; r6: the merge-plan rework
+            # reordered rows and the old seeded Bernoulli row-sample moved
+            # every rank boundary with it).  Past the cap the first-arriving
+            # 65536 values stand in — approximate boundaries only degrade
+            # clustering quality, never correctness.
             sample = [
                 r[0] for r in df.select(probe.alias("v"))
                 .filter(F.col("v").isNotNull())
-                .sample(fraction=0.5, seed=seed).limit(65536).collect()
+                .limit(65536).collect()
             ]
             if not sample:
                 rank_exprs.append(F.lit(0))
@@ -1708,7 +1715,10 @@ class LakeTable:
         if sort_by and cluster == "zorder":
             df = (
                 df.withColumn("_z", self._zorder_column(df, tuple(sort_by)))
-                .sortWithinPartitions("_bucket", "_z")
+                # sort_by tie-break: z-cell collisions are common at small
+                # rank widths; without it the layout inherits upstream row
+                # order and file cuts drift run-to-run
+                .sortWithinPartitions("_bucket", "_z", *sort_by)
                 .drop("_z")  # projection only: within-partition order kept
             )
         elif sort_by:

@@ -660,4 +660,7 @@ def convert_log_to_proto(json_log_path: str, out_path: str) -> dict:
             writer.close()
     if writer is None:  # empty input: still produce a readable empty log
         pq.write_table(pf.schema_arrow.empty_table(), out_path)
+    from ..generator import _sync_writeback
+
+    _sync_writeback()  # flush dirty pages so the NEXT (timed) job runs clean
     return {"rows": n_rows, "path": out_path}

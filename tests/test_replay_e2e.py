@@ -246,3 +246,28 @@ def test_auto_salting_end_to_end_hot_key_log(spark, tmp_path):
                for b in run_u["batches"] if b["kind"] == "data"), (
         f"salting engaged on a uniform log: {run_u['batches']}"
     )
+
+
+def test_prime_python_workers_once_per_session(spark):
+    """Worker-pool priming runs its noop job once per session and is a
+    cheap no-op afterwards (every replay calls it unconditionally)."""
+    import importlib
+    import time
+
+    # the plans package re-exports the replay FUNCTION under the same name,
+    # shadowing the submodule attribute — resolve the module explicitly
+    replay_mod = importlib.import_module("logicaldecoding_spark.plans.replay")
+
+    app = spark.sparkContext.applicationId
+    replay_mod._PRIMED_APPS.discard(app)
+    replay_mod.prime_python_workers(spark)
+    assert app in replay_mod._PRIMED_APPS
+    t0 = time.time()
+    replay_mod.prime_python_workers(spark)  # second call: guard short-circuit
+    assert time.time() - t0 < 0.05
+    # the guard must not leak the job description into later jobs
+    assert spark.sparkContext.getLocalProperty("spark.job.description") in (
+        None, "",
+    ) or "prime" not in spark.sparkContext.getLocalProperty(
+        "spark.job.description"
+    )

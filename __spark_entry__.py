@@ -308,6 +308,33 @@ def _stamped_events(spark, sf):
     return _SEQ_CACHE[sf]
 
 
+def _half_winners(seq, cut):
+    """Per-user last-writer winners for BOTH halves of the stamped stream in
+    ONE aggregate pass: ``groupBy(_half, user_id)`` partitions rows exactly
+    as the two per-half ``groupBy(user_id)`` aggregates the lake builders
+    previously ran (``_half`` is a pure function of ``lsn``), so each slice
+    holds identical rows — but the stream is scanned once, and each merge's
+    write job consumes a small persisted slice instead of re-running the
+    full aggregate inline (guide §2.4: operations keyed the same way share
+    one pass).  Caller unpersists after the last consumer."""
+    return (
+        seq.withColumn("_half", (F.col("lsn") <= cut).cast("int"))
+        .groupBy("_half", "user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "txid"), F.col("lsn")
+            ).alias("_e"),
+            F.max("lsn").alias("lsn"),
+        )
+        .select(
+            "_half", "user_id", F.col("_e.event_type").alias("event_type"),
+            F.col("_e.value").alias("value"), F.lit("U").alias("op"),
+            "lsn", F.col("_e.txid").alias("txid"),
+        )
+        .persist()
+    )
+
+
 def _events_lake(spark, sf):
     """Two-batch LakeTable over the events stream: lsn = row_number ordered
     by (ts, event_id); batch 1 = first half, batch 2 = the rest.  Returns
@@ -330,22 +357,9 @@ def _events_lake(spark, sf):
     t = LakeTable.create(os.path.join(path, "t"), schema, pk=("user_id",),
                          n_buckets=8)
     v_mid = None
-    for bid, (lo, hi) in enumerate(((0, cut), (cut, n))):
-        comp = (
-            seq.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-            .groupBy("user_id")
-            .agg(
-                F.max_by(
-                    F.struct("event_type", "value", "txid"), F.col("lsn")
-                ).alias("_e"),
-                F.max("lsn").alias("lsn"),
-            )
-            .select(
-                "user_id", F.col("_e.event_type").alias("event_type"),
-                F.col("_e.value").alias("value"), F.lit("U").alias("op"),
-                "lsn", F.col("_e.txid").alias("txid"),
-            )
-        )
+    winners = _half_winners(seq, cut)
+    for bid, (half, hi) in enumerate(((1, cut), (0, n))):
+        comp = winners.filter(F.col("_half") == half).drop("_half")
         # touched = all buckets, known a priori: the compacted set is a
         # whole-stream per-user aggregate (users >> buckets), so the
         # discover pass (persist + distinct collect, one Spark job per
@@ -355,6 +369,7 @@ def _events_lake(spark, sf):
                    touched=list(range(t.n_buckets)))
         if bid == 0:
             v_mid = t.version
+    winners.unpersist()
     _LAKE_CACHE[sf] = (t, cut, v_mid)
     return _LAKE_CACHE[sf]
 
@@ -476,26 +491,17 @@ def _q_lake_branch_publish(spark, sf):
         t = LakeTable.create(os.path.join(path, "t"), schema,
                              pk=("user_id",), n_buckets=8)
 
-        def comp(lo, hi):
-            return (
-                seq.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi))
-                .groupBy("user_id")
-                .agg(F.max_by(F.struct("event_type", "value", "txid"),
-                              F.col("lsn")).alias("_e"),
-                     F.max("lsn").alias("lsn"))
-                .select("user_id",
-                        F.col("_e.event_type").alias("event_type"),
-                        F.col("_e.value").alias("value"),
-                        F.lit("U").alias("op"), "lsn",
-                        F.col("_e.txid").alias("txid"))
-            )
-
+        # one shared winner pass for both halves (see _half_winners);
         # touched known a priori (see _events_lake): skip the discover job
-        merge_into(spark, t, comp(0, cut), applied_upto_lsn=cut, batch_id=0,
+        winners = _half_winners(seq, cut)
+        comp = lambda half: winners.filter(  # noqa: E731
+            F.col("_half") == half).drop("_half")
+        merge_into(spark, t, comp(1), applied_upto_lsn=cut, batch_id=0,
                    touched=list(range(t.n_buckets)))
         b = t.create_branch("stage")
-        merge_into(spark, b, comp(cut, n), applied_upto_lsn=n, batch_id=1,
+        merge_into(spark, b, comp(0), applied_upto_lsn=n, batch_id=1,
                    touched=list(range(t.n_buckets)))
+        winners.unpersist()
         assert t.applied_upto_lsn == cut  # audit: main untouched by staging
         t.publish("stage")
         _WAP_CACHE[sf] = t
